@@ -1,0 +1,105 @@
+"""Structured Streaming driver: tail the file-based binlog, apply each
+microbatch through apply_batch, checkpoint offsets.
+
+This is the real implementation of what the reference only sketches:
+its execute_batch loop (/root/reference/src/pipeline/mod.rs:215-269)
+relies on extractor offset bookkeeping that is never advanced
+(/root/reference/src/extract/csv.rs:192-211), and its checkpoint/
+recovery manager is docs-only (/root/reference/docs/architecture.md:250-268).
+Here the offsets are Spark's file-source log inside checkpointLocation:
+kill the process anywhere, restart with the same checkpoint, and the
+stream resumes at the first uncommitted batch; the table's (run_id,
+batch_id) commit log plus LWW merge absorb the one batch that may be
+replayed — exactly-once end-to-end.
+
+Triggers: availableNow=True drains everything then stops (replay mode);
+processingTime tails a growing directory (tail mode) — mirroring the
+reference's execute_streaming alias (/root/reference/src/pipeline/mod.rs:273-276).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from etl_rs_spark.config import CdcConfig
+from etl_rs_spark.cdc.apply import apply_batch
+from etl_rs_spark.generator import ENVELOPE_SCHEMA
+from etl_rs_spark.sinks.lake import LakeTable
+
+
+class StreamDriver:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: LakeTable,
+        events_dir: str,
+        checkpoint_dir: str,
+        cfg: CdcConfig | None = None,
+        fmt: str = "parquet",
+        max_files_per_trigger: int | None = None,
+        coerce_spec: dict[str, str] | None = None,
+        lineage_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.table = table
+        self.events_dir = events_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.cfg = cfg or CdcConfig()
+        self.fmt = fmt
+        self.max_files_per_trigger = max_files_per_trigger
+        self.coerce_spec = coerce_spec
+        self.lineage_dir = lineage_dir
+        # run identity = the checkpoint: replays within one checkpoint
+        # lineage share it, so the table's commit log can skip them.
+        self.run_id = os.path.abspath(checkpoint_dir)
+        self.batch_stats: list[dict[str, Any]] = []
+
+    def _foreach_batch(self, batch_df, batch_id: int) -> None:
+        stats = apply_batch(
+            self.table,
+            batch_df,
+            batch_id=batch_id,
+            run_id=self.run_id,
+            cfg=self.cfg,
+            coerce_spec=self.coerce_spec,
+            lineage_dir=self.lineage_dir,
+        )
+        self.batch_stats.append(stats)
+
+    def _reader(self):
+        reader = (
+            self.spark.readStream.schema(ENVELOPE_SCHEMA)
+            .option("latestFirst", "false")
+            .option("maxFilesPerTrigger", self.max_files_per_trigger or 1000)
+        )
+        return reader.format(self.fmt).load(self.events_dir)
+
+    def start(self, processing_time: str | None = None) -> StreamingQuery:
+        """Start the stream. processing_time=None -> availableNow (drain
+        and stop); otherwise a continuous tail at that trigger interval."""
+        writer = (
+            self._reader()
+            .writeStream.foreachBatch(self._foreach_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName("cdc-apply")
+        )
+        if processing_time is None:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def run_available_now(self, timeout_s: int | None = None) -> list[dict[str, Any]]:
+        """Drain all currently-available files, block until done, return
+        per-batch stats."""
+        q = self.start(processing_time=None)
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+        if q.exception() is not None:
+            raise q.exception()
+        return self.batch_stats

@@ -1,0 +1,81 @@
+"""SparkSession factory.
+
+One place configures everything the engine relies on:
+
+- AQE on (runtime re-planning, skew-join splitting) — our complement to
+  explicit salting for hot-conversation skew.
+- Arrow execution on — the payload normalizer is a vectorized pandas UDF
+  (no per-row Python anywhere in the engine).
+- ``spark.sql.shuffle.partitions`` sized to the core count, not the 200
+  default: on local[N] a 200-partition shuffle of a small microbatch is
+  pure overhead; on a real cluster this is set to ~2-3x total cores.
+- Session timezone pinned to UTC so timestamp semantics are stable
+  (the reference's Timestamp is DateTime<Utc>,
+  /root/reference/src/types.rs:24).
+
+Parallelism is a constructor argument because the scaling-efficiency
+benchmark (BASELINE.md) runs the identical job at two parallelism levels
+(local[8] vs local[32]) as the sandbox proxy for N vs 4N executors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl_rs_spark",
+    parallelism: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    parallelism: int N -> local[N]; "*" -> local[*]; None -> env
+    SPARK_GRAFT_CPUS or local[*]. On a real cluster this function is a
+    no-op passthrough to the spark-submit-provided session: if an active
+    session exists with a non-local master it is returned untouched.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None and not str(
+        active.conf.get("spark.master", "local")
+    ).startswith("local"):
+        return active
+
+    if parallelism is None:
+        parallelism = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{parallelism}]"
+    cores = os.cpu_count() or 8
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(8, int(parallelism))
+        except (TypeError, ValueError):
+            shuffle_partitions = max(8, cores)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,430 @@
+"""LakeTable — a minimal Iceberg-style merge-on-write table format.
+
+The north rule targets Iceberg ``MERGE INTO``; this sandbox has no
+network and no iceberg-spark-runtime jar, so the engine ships its own
+small table format with the same *semantics* Iceberg provides, behind an
+interface an Iceberg-backed implementation can replace verbatim
+(see ``sinks/iceberg.py`` for the jar-gated SQL implementation):
+
+- **snapshot isolation + atomic commits**: every commit writes an
+  immutable ``meta/version-N.json`` manifest (schema + data-file list)
+  and atomically swings ``meta/HEAD`` via os.replace. A crash mid-commit
+  leaves HEAD on the old snapshot; orphaned data files are inert.
+- **hidden-partition bucketing**: data files are owned by
+  ``bucket(num_buckets, conv_id)`` (xxhash64-based, deterministic), so a
+  MERGE rewrites only the buckets its source touches — copy-on-write
+  scoped by partition pruning, which is exactly Iceberg's
+  ``PARTITIONED BY (bucket(N, conv_id))`` MERGE behavior.
+- **LWW merge keyed on event LSN**: rows carry a hidden ``_lsn`` column;
+  an incoming row replaces the stored row only if its (ts, lsn) is
+  greater. Re-applying any batch, in any order, converges to the same
+  state — the idempotence that makes checkpoint replay exactly-once.
+- **additive schema evolution**: new source columns widen the table
+  schema in place; old files are read with the widened schema and
+  null-backfill (Spark's parquet reader fills missing columns).
+- **time travel**: ``read(version=...)`` — the reference's
+  DeltaExtractor honors with_version the same way
+  (/root/reference/src/extract/delta.rs:103-109).
+- **exactly-once bookkeeping**: each snapshot records, per streaming
+  run, the highest applied microbatch id; a replayed (run_id, batch_id)
+  the table has already committed is skipped outright.
+
+The reference's DeltaLoader advertises exactly this surface —
+Append | Overwrite | Merge{merge_keys} modes
+(/root/reference/src/load/delta.rs:27-37) — but its write_merge is a
+stub that appends (/root/reference/src/load/delta.rs:255-267) and its
+partition/schema-evolution knobs are stored and never applied
+(/root/reference/src/load/delta.rs:62-69). This class is that surface,
+implemented for real.
+
+Concurrency model: single writer (the streaming sink), many readers —
+same as one Structured Streaming query owning an Iceberg table.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+import uuid
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_rs_spark.errors import LoadError
+
+LSN_COL = "_lsn"
+DELETED_COL = "_deleted"
+_BUCKET = "__b"
+_OP = "op"
+
+
+def _with_meta_cols(schema: T.StructType) -> T.StructType:
+    """User schema + hidden (_lsn, _deleted) — fresh object, no mutation."""
+    return T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField(LSN_COL, T.LongType()),
+            T.StructField(DELETED_COL, T.BooleanType()),
+        ]
+    )
+
+
+def bucket_expr(col: str, num_buckets: int) -> F.Column:
+    """Deterministic bucket id — Spark's xxhash64 with its fixed seed, so
+    the same key lands in the same bucket across sessions and runs."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(num_buckets)).cast("int")
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema_json: str  # user-visible schema (StructType.json())
+    key_cols: list[str]
+    order_cols: list[str]
+    bucket_col: str
+    num_buckets: int
+    files: list[dict[str, Any]] = field(default_factory=list)  # {path, bucket}
+    applied: dict[str, int] = field(default_factory=dict)  # run_id -> max batch
+    watermark_lsn: int = -1
+    props: dict[str, Any] = field(default_factory=dict)
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=1)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Snapshot":
+        return cls(**json.loads(s))
+
+
+class LakeTable:
+    """Bucketed, snapshot-versioned, merge-on-write parquet table."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.meta_dir = os.path.join(path, "meta")
+        self.data_dir = os.path.join(path, "data")
+
+    # ------------------------------------------------------------- DDL --
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType | str,
+        key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+        order_cols: Sequence[str] = ("ts", "lsn"),
+        bucket_col: str = "conv_id",
+        num_buckets: int = 16,
+        exist_ok: bool = False,
+    ) -> "LakeTable":
+        t = cls(spark, path)
+        if os.path.exists(os.path.join(t.meta_dir, "HEAD")):
+            if exist_ok:
+                return t
+            raise LoadError(f"table already exists at {path}")
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        snap = Snapshot(
+            version=0,
+            schema_json=json.dumps(schema.jsonValue()),
+            key_cols=list(key_cols),
+            order_cols=list(order_cols),
+            bucket_col=bucket_col,
+            num_buckets=num_buckets,
+        )
+        t._commit(snap)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        t.current()  # raises if absent
+        return t
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.meta_dir, "HEAD"))
+
+    # -------------------------------------------------------- snapshots --
+    def current(self) -> Snapshot:
+        head = os.path.join(self.meta_dir, "HEAD")
+        if not os.path.exists(head):
+            raise LoadError(f"no table at {self.path}")
+        with open(head) as f:
+            v = int(f.read().strip())
+        return self.snapshot(v)
+
+    def snapshot(self, version: int) -> Snapshot:
+        with open(os.path.join(self.meta_dir, f"version-{version:08d}.json")) as f:
+            return Snapshot.from_json(f.read())
+
+    def _commit(self, snap: Snapshot) -> None:
+        vpath = os.path.join(self.meta_dir, f"version-{snap.version:08d}.json")
+        with open(vpath, "w") as f:
+            f.write(snap.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = os.path.join(self.meta_dir, f".HEAD.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(snap.version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.meta_dir, "HEAD"))  # atomic swing
+
+    # ------------------------------------------------------------ reads --
+    def read(
+        self,
+        version: int | None = None,
+        include_meta: bool = False,
+        buckets: Sequence[int] | None = None,
+    ) -> DataFrame:
+        snap = self.current() if version is None else self.snapshot(version)
+        files = snap.files
+        if buckets is not None:
+            wanted = set(buckets)
+            files = [f for f in files if f["bucket"] in wanted]
+        schema = _with_meta_cols(snap.schema())
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            # explicit schema => missing (pre-evolution) columns in old
+            # files are null-backfilled by the parquet reader, and no
+            # footer-merge pass over every file is needed.
+            df = self.spark.read.schema(schema).parquet(
+                *[f["path"] for f in files]
+            )
+        if include_meta:
+            return df
+        # tombstones (soft deletes) are an implementation detail: a delete
+        # must keep its (ts, lsn) so a late, older cross-batch event for
+        # the same key cannot resurrect the row.
+        return df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(
+            LSN_COL, DELETED_COL
+        )
+
+    # ----------------------------------------------------------- writes --
+    def _write_files(
+        self, df: DataFrame, version: int, write_partitions: int | None = None
+    ) -> list[dict[str, Any]]:
+        """Write df (which must carry _BUCKET) under a fresh commit dir,
+        hash-distributed so a hot bucket is still written by many tasks,
+        and return [{path, bucket}] for the manifest."""
+        commit_dir = os.path.join(self.data_dir, f"commit-{version:08d}")
+        shuffled = df.repartition(
+            *( [write_partitions] if write_partitions else [] ),
+            F.col(_BUCKET),
+            F.spark_partition_id(),  # salt: spread one bucket across tasks
+        )
+        shuffled.write.partitionBy(_BUCKET).mode("overwrite").parquet(commit_dir)
+        out = []
+        for p in glob.glob(os.path.join(commit_dir, f"{_BUCKET}=*", "*.parquet")):
+            b = int(p.split(f"{_BUCKET}=")[1].split(os.sep)[0])
+            out.append({"path": p, "bucket": b})
+        return out
+
+    def _with_bucket(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+        return df.withColumn(_BUCKET, bucket_expr(snap.bucket_col, snap.num_buckets))
+
+    def append(self, df: DataFrame, lsn_col: str | None = None) -> dict[str, Any]:
+        """Blind append (reference DeltaLoader Append mode)."""
+        snap = self.current()
+        out = self._prepare_rows(df, snap, lsn_col)
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_json=snap.schema_json,
+            key_cols=snap.key_cols,
+            order_cols=snap.order_cols,
+            bucket_col=snap.bucket_col,
+            num_buckets=snap.num_buckets,
+            files=snap.files + self._write_files(self._with_bucket(out, snap), snap.version + 1),
+            applied=dict(snap.applied),
+            watermark_lsn=snap.watermark_lsn,
+            props=dict(snap.props),
+        )
+        self._commit(new)
+        return {"version": new.version, "mode": "append"}
+
+    def overwrite(self, df: DataFrame, lsn_col: str | None = None) -> dict[str, Any]:
+        """Full replace (reference DeltaLoader Overwrite mode)."""
+        snap = self.current()
+        out = self._prepare_rows(df, snap, lsn_col)
+        new = Snapshot(
+            version=snap.version + 1,
+            schema_json=snap.schema_json,
+            key_cols=snap.key_cols,
+            order_cols=snap.order_cols,
+            bucket_col=snap.bucket_col,
+            num_buckets=snap.num_buckets,
+            files=self._write_files(self._with_bucket(out, snap), snap.version + 1),
+            applied=dict(snap.applied),
+            watermark_lsn=snap.watermark_lsn,
+            props=dict(snap.props),
+        )
+        self._commit(new)
+        return {"version": new.version, "mode": "overwrite"}
+
+    def _prepare_rows(
+        self, df: DataFrame, snap: Snapshot, lsn_col: str | None
+    ) -> DataFrame:
+        fields = snap.schema().fields
+        cols = [f.name for f in fields]
+        types = {f.name: f.dataType for f in fields}
+        lsn = F.col(lsn_col).cast("long") if lsn_col else F.lit(-1).cast("long")
+        for c in cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(types[c]))
+        return df.select(
+            *cols, lsn.alias(LSN_COL), F.lit(False).alias(DELETED_COL)
+        )
+
+    # ------------------------------------------------------------ merge --
+    def merge(
+        self,
+        winners: DataFrame,
+        run_id: str | None = None,
+        batch_id: int | None = None,
+        op_col: str = _OP,
+        lsn_col: str = "lsn",
+        write_partitions: int | None = None,
+    ) -> dict[str, Any]:
+        """Key-partitioned LWW MERGE (the real version of the reference's
+        stubbed write_merge, /root/reference/src/load/delta.rs:255-267).
+
+        ``winners`` must hold at most one row per key (run lww_dedup
+        first) with columns: key_cols + op_col (I|U|D) + order cols +
+        payload. Semantics per key:
+          incoming (ts,lsn) >  stored (ts,_lsn): op D deletes, I/U upserts
+          incoming (ts,lsn) <= stored           : no-op (idempotent replay)
+        New payload columns widen the schema in place (additive
+        evolution); deletes resurrect if a later-LSN insert follows.
+        """
+        t0 = time.monotonic()
+        snap = self.current()
+
+        # -- exactly-once: skip microbatches this table already committed
+        if run_id is not None and batch_id is not None:
+            if snap.applied.get(run_id, -1) >= batch_id:
+                return {
+                    "version": snap.version,
+                    "skipped": True,
+                    "reason": f"batch {batch_id} already applied for {run_id}",
+                }
+
+        schema = snap.schema()
+        table_cols = [f.name for f in schema.fields]
+        ts_col = snap.order_cols[0]
+
+        # -- additive schema evolution: widen with new incoming columns
+        reserved = {op_col, lsn_col, _BUCKET, LSN_COL}
+        incoming_payload = [
+            f for f in winners.schema.fields if f.name not in reserved
+        ]
+        new_fields = [f for f in incoming_payload if f.name not in table_cols]
+        if new_fields:
+            for f in new_fields:
+                schema = schema.add(f.name, f.dataType)
+            table_cols = [f.name for f in schema.fields]
+        schema_json = json.dumps(schema.jsonValue())
+        types = {f.name: f.dataType for f in schema.fields}
+
+        # -- affected buckets (tiny collect: at most num_buckets ints)
+        src = self._with_bucket(winners, snap)
+        affected = sorted(
+            r[0] for r in src.select(_BUCKET).distinct().collect()
+        )
+        if not affected:
+            return {"version": snap.version, "skipped": True, "reason": "empty batch"}
+
+        # -- current rows of affected buckets only (partition pruning)
+        cur_files = [f for f in snap.files if f["bucket"] in set(affected)]
+        read_schema = _with_meta_cols(schema)
+        if cur_files:
+            cur = self.spark.read.schema(read_schema).parquet(
+                *[f["path"] for f in cur_files]
+            )
+        else:
+            cur = self.spark.createDataFrame([], read_schema)
+
+        def norm(df: DataFrame, lsn: F.Column, deleted: F.Column) -> DataFrame:
+            sel = []
+            for c in table_cols:
+                sel.append(
+                    (F.col(c) if c in df.columns else F.lit(None)).cast(types[c]).alias(c)
+                )
+            return df.select(
+                *sel,
+                lsn.cast("long").alias(LSN_COL),
+                deleted.cast("boolean").alias(DELETED_COL),
+            )
+
+        existing = norm(cur, F.col(LSN_COL), F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        incoming = norm(src, F.col(lsn_col), F.col(op_col) == "D")
+
+        # -- LWW across {stored row/tombstone, incoming winner} per key:
+        # one associative max_by aggregation (partial map-side combine
+        # before the shuffle). Deletes become tombstones — the (ts, lsn)
+        # of a delete must survive so a late older event can't win later.
+        # AQE handles residual skew.
+        combined = existing.unionByName(incoming)
+        payload = [c for c in combined.columns if c not in snap.key_cols]
+        merged = combined.groupBy(*snap.key_cols).agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in payload]),
+                F.struct(F.col(ts_col), F.col(LSN_COL)),
+            ).alias("__w")
+        )
+        final = merged.select(
+            *snap.key_cols, *[F.col(f"__w.{c}").alias(c) for c in payload]
+        )
+        # null out tombstone payload (deletes carry no payload on disk)
+        non_key_user = [
+            c for c in table_cols if c not in snap.key_cols and c != ts_col
+        ]
+        for c in non_key_user:
+            final = final.withColumn(
+                c, F.when(F.col(DELETED_COL), F.lit(None).cast(types[c])).otherwise(F.col(c))
+            )
+
+        # -- rewrite affected buckets, keep the rest
+        out = self._with_bucket(final, snap)
+        new_files = self._write_files(out, snap.version + 1, write_partitions)
+        kept = [f for f in snap.files if f["bucket"] not in set(affected)]
+
+        applied = dict(snap.applied)
+        if run_id is not None and batch_id is not None:
+            applied[run_id] = max(applied.get(run_id, -1), batch_id)
+        hi_lsn = src.agg(F.max(F.col(lsn_col))).collect()[0][0]
+
+        new_snap = Snapshot(
+            version=snap.version + 1,
+            schema_json=schema_json,
+            key_cols=snap.key_cols,
+            order_cols=snap.order_cols,
+            bucket_col=snap.bucket_col,
+            num_buckets=snap.num_buckets,
+            files=kept + new_files,
+            applied=applied,
+            watermark_lsn=max(snap.watermark_lsn, int(hi_lsn if hi_lsn is not None else -1)),
+            props=dict(snap.props),
+        )
+        self._commit(new_snap)
+        return {
+            "version": new_snap.version,
+            "skipped": False,
+            "buckets_touched": affected,
+            "files_written": len(new_files),
+            "schema_widened": [f.name for f in new_fields],
+            "watermark_lsn": new_snap.watermark_lsn,
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+        }
