@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship CDC-state query on sf0.001;
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (each reading parquet from the given sf_dir through the
+engine's operators); ``oracle_sql()`` gives the DuckDB-equivalent ANSI
+SQL. Column names and rounding are matched pairwise so the driver's
+order-insensitive value-hash comparison holds.
 """
 
 from __future__ import annotations
@@ -12,27 +13,342 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_rs_spark.functions.coercion import bool_flex, date_flex
+from etl_rs_spark.operators.aggregate import aggregate
+from etl_rs_spark.operators.dedup import exact_dedup, lww_dedup
+from etl_rs_spark.operators import transforms as tr
+
+SF0001 = "/root/testdata/sf0.001"
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- queries --
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate operator (SURVEY.md §2.4) on lineitem — distributed
+    hash agg with map-side combine; filter pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-01")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + select + computed map column (SURVEY.md §2.3)."""
+    c = _t(spark, sf_dir, "customer")
+    out = tr.filter_rows(
+        c, (F.col("c_acctbal") > 5000) & (F.col("c_mktsegment") == "BUILDING")
+    )
+    out = tr.map_rows(out, {"bal_tier": F.floor(F.col("c_acctbal") / 1000).cast("int")})
+    return tr.select_columns(out, ["c_custkey", "c_name", "bal_tier"])
+
+
+def q_convert_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConvertTypes coercion cascade (SURVEY.md §1.3) over synthesized
+    dirty strings: mixed-case booleans, dd/MM/yyyy dates, JSON-extracted
+    numerics."""
+    e = _t(spark, sf_dir, "events")
+    dirty = e.select(
+        F.col("event_id"),
+        F.element_at(
+            F.array(F.lit("TRUE"), F.lit("no"), F.lit("1"), F.lit("maybe")),
+            (F.col("event_id") % 4 + 1).cast("int"),
+        ).alias("active_raw"),
+        F.date_format("ts", "dd/MM/yyyy").alias("edited_raw"),
+        F.get_json_object("props", "$.k").alias("k_raw"),
+    )
+    return dirty.select(
+        "event_id",
+        bool_flex("active_raw").alias("active_bool"),
+        date_flex("edited_raw").cast("string").alias("edited_date"),
+        F.col("k_raw").cast("string").try_cast("long").alias("k_int"),
+    )
+
+
+def q_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner join (SURVEY.md §2.5 — the reference declares Joiner but
+    never implements it); customer side broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+    return j.groupBy("c_mktsegment").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no high-value order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    no_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+def q_window_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW dedup — the engine's core operator (max_by with map-side
+    partial agg, not a window sort): latest event per user."""
+    e = _t(spark, sf_dir, "events")
+    return lww_dedup(e, keys=["user_id"], order_cols=["ts", "event_id"]).select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+
+
+def q_cdc_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: CDC apply semantics over events-as-changelog — derive
+    I/U/D ops, LWW per key on (ts, event_id), delete-wins-if-latest.
+    Same code path as the table MERGE pre-stage (cdc/apply.py)."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+        "ts",
+        F.col("event_id").alias("lsn"),
+    )
+    winners = lww_dedup(e, keys=["user_id"], order_cols=["ts", "lsn"])
+    return winners.where(F.col("op") != "D").select(
+        "user_id", F.round("value", 2).alias("value"), "ts"
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content: deterministic keeper per distinct text."""
+    d = _t(spark, sf_dir, "documents")
+    kept = exact_dedup(
+        d.select("doc_id", "text"), on=["text"], keep_order=["doc_id"]
+    )
+    per_text = d.groupBy("text").agg(F.count("*").alias("n_copies"))
+    return kept.join(per_text, "text").select(
+        F.col("doc_id").alias("keeper_id"), "n_copies"
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over documents (whitespace tokenizer), per lang."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    return toks.groupBy("lang").agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + mean word length per source."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin("the", "a", "of", "and"))
+    )
+    per_doc = d.select(
+        "source",
+        (stop_hits / F.size(words)).alias("stop_ratio"),
+        (F.length(F.regexp_replace("text", r"\s+", "")) / F.size(words)).alias(
+            "mean_word_len"
+        ),
+    )
+    return per_doc.groupBy("source").agg(
+        F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+        F.round(F.avg("mean_word_len"), 4).alias("avg_word_len"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column — the exact
+    baseline for similarity search; returns integer ranks (float-free
+    output so the oracle hash is stable)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    cand = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qvec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sims = cand.select(
+        "vec_id", (dot / (nrm(F.col("embedding")) * nrm(F.col("qvec")))).alias("sim")
+    )
+    w = sims.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(10)
+    from pyspark.sql.window import Window
+
+    return w.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), F.col("vec_id")))
+        .alias("rank"),
+        "vec_id",
+    )
+
+
+def q_agg_reference_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference AggregateTransform output naming {col}_{func}
+    (/root/reference/src/transform/common.rs:363)."""
+    e = _t(spark, sf_dir, "events")
+    out = aggregate(e, ["event_type"], {"value": ["sum", "count", "average"]})
+    return out.select(
+        "event_type",
+        F.round("value_sum", 2).alias("value_sum"),
+        F.col("value_count"),
+        F.round("value_average", 4).alias("value_average"),
+    )
+
+
+# -------------------------------------------------------------- contract --
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_cdc_apply_state(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "filter_project": q_filter_project,
+        "convert_types": q_convert_types,
+        "join_orders_customers": q_join_orders_customers,
+        "customers_without_orders": q_customers_without_orders,
+        "window_lww_latest": q_window_lww_latest,
+        "cdc_apply_state": q_cdc_apply_state,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "ann_topk": q_ann_topk,
+        "agg_reference_naming": q_agg_reference_naming,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_project": """
+            SELECT c_custkey, c_name, CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_tier
+            FROM customer
+            WHERE c_acctbal > 5000 AND c_mktsegment = 'BUILDING'
+        """,
+        "convert_types": """
+            WITH dirty AS (
+                SELECT event_id,
+                       ['TRUE','no','1','maybe'][(event_id % 4 + 1)::INT] AS active_raw,
+                       strftime(ts, '%d/%m/%Y') AS edited_raw,
+                       json_extract_string(props, '$.k') AS k_raw
+                FROM events
+            )
+            SELECT event_id,
+                   CASE WHEN lower(trim(active_raw)) IN ('true','1','yes','y') THEN true
+                        WHEN lower(trim(active_raw)) IN ('false','0','no','n') THEN false
+                        ELSE NULL END AS active_bool,
+                   CAST(strptime(edited_raw, '%d/%m/%Y')::DATE AS VARCHAR) AS edited_date,
+                   TRY_CAST(k_raw AS BIGINT) AS k_int
+            FROM dirty
+        """,
+        "join_orders_customers": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "customers_without_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000)
+            GROUP BY c_mktsegment
+        """,
+        "window_lww_latest": """
+            SELECT user_id, event_id, event_type, value, ts
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cdc_apply_state": """
+            WITH ops AS (
+                SELECT user_id,
+                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                       value, ts, event_id AS lsn
+                FROM events
+            ), winners AS (
+                SELECT * FROM ops
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, lsn DESC) = 1
+            )
+            SELECT user_id, round(value, 2) AS value, ts
+            FROM winners WHERE op <> 'D'
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "token_count": """
+            SELECT lang,
+                   CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+                   round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens
+            FROM documents GROUP BY lang
+        """,
+        "text_quality": """
+            WITH per_doc AS (
+                SELECT source,
+                       len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           w -> w IN ('the','a','of','and')))::DOUBLE
+                         / len(regexp_split_to_array(trim(text), '\\s+')) AS stop_ratio,
+                       length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                         / len(regexp_split_to_array(trim(text), '\\s+')) AS mean_word_len
+                FROM documents
+            )
+            SELECT source,
+                   round(avg(stop_ratio), 4) AS avg_stop_ratio,
+                   round(avg(mean_word_len), 4) AS avg_word_len,
+                   count(*) AS n_docs
+            FROM per_doc GROUP BY source
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+            sims AS (
+                SELECT vec_id,
+                       list_cosine_similarity(embedding, qvec) AS sim
+                FROM embeddings, q WHERE vec_id <> 0
+            )
+            SELECT row_number() OVER (ORDER BY sim DESC, vec_id) AS rank, vec_id
+            FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "agg_reference_naming": """
+            SELECT event_type,
+                   round(sum(value), 2) AS value_sum,
+                   count(value) AS value_count,
+                   round(avg(value), 4) AS value_average
+            FROM events GROUP BY event_type
+        """,
+    }

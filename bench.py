@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Benchmark driver. Prints ONE JSON line:
+
+{"metric": "...", "value": <total headline sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <sf>,
+ "cdc": {"events": N, "wall_sec": s, "events_per_sec": r,
+          "parallelism": P, "batches": B}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_CDC_EVENTS (default 1,000,000).
+Flags: --cdc-only (skip headline queries — used by the N-vs-4N scaling
+runner, scripts/run_scaling.py), --queries-only.
+
+The CDC bench is the north metric (BASELINE.md): generate a seeded
+change stream, apply it through normalize -> LWW dedup -> bucketed MERGE
+into a fresh LakeTable, report sustained events/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    out: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        out[name] = round(time.monotonic() - t0, 3)
+        _ = n
+    return out
+
+
+def run_cdc_bench(
+    spark, n_events: int, parallelism: int, batches: int = 4
+) -> dict:
+    from pyspark.sql import functions as F
+
+    from etl_rs_spark.cdc.apply import apply_batch
+    from etl_rs_spark.config import CdcConfig
+    from etl_rs_spark.generator import gen_change_stream, to_envelope
+    from etl_rs_spark.sinks.lake import LakeTable
+
+    work = tempfile.mkdtemp(prefix="cdc-bench-")
+    try:
+        # materialize the envelope stream first so generation cost is NOT
+        # counted in apply throughput (in production the binlog already
+        # exists); seeded => identical input at every parallelism level.
+        env_path = os.path.join(work, "envelope")
+        ev = gen_change_stream(
+            spark,
+            n_events=n_events,
+            n_convs=max(n_events // 1000, 100),
+            turns_per_conv=32,
+            seed=42,
+            hot_conv_frac=0.2,
+            partitions=max(parallelism * 2, 8),
+        )
+        to_envelope(ev).write.parquet(env_path)
+        envelope = spark.read.parquet(env_path)
+
+        table = LakeTable.create(
+            spark,
+            os.path.join(work, "table"),
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+            num_buckets=max(parallelism, 16),
+        )
+        cfg = CdcConfig()
+        per = (n_events + batches - 1) // batches
+        t0 = time.monotonic()
+        for i in range(batches):
+            chunk = envelope.where(
+                (F.col("lsn") >= i * per) & (F.col("lsn") < (i + 1) * per)
+            )
+            apply_batch(table, chunk, batch_id=i, run_id="bench", cfg=cfg)
+        wall = time.monotonic() - t0
+        return {
+            "events": n_events,
+            "wall_sec": round(wall, 3),
+            "events_per_sec": round(n_events / wall, 1),
+            "parallelism": parallelism,
+            "batches": batches,
+            "final_rows": table.read().count(),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    from etl_rs_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "1000000"))
+    cdc_only = "--cdc-only" in sys.argv
+    queries_only = "--queries-only" in sys.argv
+
+    spark = get_spark("bench", parallelism=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    if not cdc_only:
+        queries = run_headline_queries(spark, sf_dir)
+    cdc = None
+    if not queries_only:
+        cdc = run_cdc_bench(spark, n_events, cpus)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "headline query wall time + CDC apply throughput",
+        "value": round(sum(queries.values()), 3) if queries else (cdc or {}).get("wall_sec"),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if cdc is not None:
+        result["cdc"] = cdc
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,7 +16,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from etl_rs_spark.cdc.lineage import bucket_lineage, write_lineage
-from etl_rs_spark.cdc.normalize import normalize_events
+from etl_rs_spark.cdc.normalize import coerce_columns, normalize_events
 from etl_rs_spark.config import CdcConfig
 from etl_rs_spark.operators.dedup import lww_dedup
 from etl_rs_spark.sinks.lake import LakeTable, bucket_expr
@@ -41,16 +41,17 @@ def apply_batch(
     t0 = time.monotonic()
     cfg = cfg or CdcConfig()
 
-    events = normalize_events(envelope, coerce_spec)
+    # parse + type the envelope, but defer the pandas-UDF dirty-value
+    # coercion until after dedup: the UDF then processes one row per key
+    # (the winners) instead of every duplicate event.
+    events = normalize_events(envelope, coerce_spec, coerce=False)
     winners = lww_dedup(
         events,
         keys=list(cfg.merge_keys),
         order_cols=list(cfg.order_cols),
         salt_buckets=cfg.salt_buckets,
     )
-    if lineage_dir is not None:
-        # winners is reused by merge + lineage: cache once, not recompute
-        winners = winners.cache()
+    winners = coerce_columns(winners, coerce_spec)
 
     stats = table.merge(winners, run_id=run_id, batch_id=batch_id)
     stats["batch_id"] = batch_id
@@ -58,17 +59,15 @@ def apply_batch(
     wall_ms = int((time.monotonic() - t0) * 1000)
     stats["apply_wall_ms"] = wall_ms
 
-    if lineage_dir is not None:
-        if not stats.get("skipped"):
-            snap = table.current()
-            b = bucket_expr(snap.bucket_col, snap.num_buckets)
-            write_lineage(
-                lineage_dir,
-                bucket_lineage(events, winners, b),
-                run_id=run_id,
-                batch_id=batch_id,
-                table_version=stats["version"],
-                wall_ms=wall_ms,
-            )
-        winners.unpersist()
+    if lineage_dir is not None and not stats.get("skipped"):
+        snap = table.current()
+        b = bucket_expr(snap.bucket_col, snap.num_buckets)
+        write_lineage(
+            lineage_dir,
+            bucket_lineage(events, winners, b),
+            run_id=run_id,
+            batch_id=batch_id,
+            table_version=stats["version"],
+            wall_ms=wall_ms,
+        )
     return stats

@@ -48,6 +48,7 @@ def normalize_events(
     envelope: DataFrame,
     coerce_spec: dict[str, str] | None = None,
     payload_col: str = "payload",
+    coerce: bool = True,
 ) -> DataFrame:
     """Envelope (lsn, op, conv_id, turn_idx, ts, payload-json) ->
     typed change rows (lsn, op, conv_id, turn_idx, ts, <payload cols>).
@@ -75,9 +76,28 @@ def normalize_events(
     for k in keys:
         c = F.col(f"__p.{k}")
         target = spec.get(k)
-        if target is not None and target in PANDAS_COERCERS:
+        if coerce and target is not None and target in PANDAS_COERCERS:
             c = PANDAS_COERCERS[target](c)  # vectorized Arrow batch coercion
-        elif target is not None:
+        elif coerce and target is not None:
             c = c.cast(target)
         cols.append(c.alias(k))
     return df.select(*cols)
+
+
+def coerce_columns(df: DataFrame, spec: dict[str, str] | None = None) -> DataFrame:
+    """Apply the dirty-value coercion spec to whichever spec'd columns are
+    present. Called AFTER LWW dedup in the apply pipeline so the
+    vectorized pandas UDFs see one row per key (the winners), not every
+    duplicate event — same result, a fraction of the Arrow traffic."""
+    spec = DEFAULT_COERCE_SPEC if spec is None else spec
+    out = {}
+    for k, target in spec.items():
+        if k not in df.columns:
+            continue
+        c = F.col(k)
+        out[k] = (
+            PANDAS_COERCERS[target](c)
+            if target in PANDAS_COERCERS
+            else c.cast(target)
+        )
+    return df.withColumns(out) if out else df

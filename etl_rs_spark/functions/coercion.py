@@ -54,13 +54,13 @@ def bool_flex(col: Column | str) -> Column:
 def int_flex(col: Column | str) -> Column:
     """int parse; else float parse truncated toward zero; else null."""
     s = F.trim(_c(col).cast("string"))
-    as_long = F.try_cast(s, "long")
-    as_dbl = F.try_cast(s, "double")
+    as_long = s.try_cast("long")
+    as_dbl = s.try_cast("double")
     return F.coalesce(as_long, as_dbl.cast("long"))
 
 
 def float_flex(col: Column | str) -> Column:
-    return F.try_cast(F.trim(_c(col).cast("string")), "double")
+    return F.trim(_c(col).cast("string")).try_cast("double")
 
 
 def date_flex(col: Column | str) -> Column:

@@ -215,17 +215,30 @@ class LakeTable:
 
     # ----------------------------------------------------------- writes --
     def _write_files(
-        self, df: DataFrame, version: int, write_partitions: int | None = None
+        self,
+        df: DataFrame,
+        version: int,
+        n_buckets_touched: int,
+        write_partitions: int | None = None,
     ) -> list[dict[str, Any]]:
-        """Write df (which must carry _BUCKET) under a fresh commit dir,
-        hash-distributed so a hot bucket is still written by many tasks,
-        and return [{path, bucket}] for the manifest."""
+        """Write df (which must carry _BUCKET) under a fresh commit dir
+        and return [{path, bucket}] for the manifest.
+
+        Partitioning discipline: by default exactly one shuffle partition
+        per touched bucket, so each bucket lands in ONE file and the
+        commit produces O(buckets) files, not O(tasks x buckets). When
+        write_partitions > buckets (huge batches / hot buckets), rows are
+        additionally salted so a single bucket is written by several
+        tasks in parallel — the manifest tracks multiple files per bucket
+        transparently."""
         commit_dir = os.path.join(self.data_dir, f"commit-{version:08d}")
-        shuffled = df.repartition(
-            *( [write_partitions] if write_partitions else [] ),
-            F.col(_BUCKET),
-            F.spark_partition_id(),  # salt: spread one bucket across tasks
-        )
+        wp = write_partitions or max(n_buckets_touched, 1)
+        per_bucket = max(wp // max(n_buckets_touched, 1), 1)
+        if per_bucket > 1:
+            salt = F.pmod(F.xxhash64(F.col(LSN_COL)), F.lit(per_bucket))
+            shuffled = df.repartition(wp, F.col(_BUCKET), salt)
+        else:
+            shuffled = df.repartition(wp, F.col(_BUCKET))
         shuffled.write.partitionBy(_BUCKET).mode("overwrite").parquet(commit_dir)
         out = []
         for p in glob.glob(os.path.join(commit_dir, f"{_BUCKET}=*", "*.parquet")):
@@ -247,7 +260,10 @@ class LakeTable:
             order_cols=snap.order_cols,
             bucket_col=snap.bucket_col,
             num_buckets=snap.num_buckets,
-            files=snap.files + self._write_files(self._with_bucket(out, snap), snap.version + 1),
+            files=snap.files
+            + self._write_files(
+                self._with_bucket(out, snap), snap.version + 1, snap.num_buckets
+            ),
             applied=dict(snap.applied),
             watermark_lsn=snap.watermark_lsn,
             props=dict(snap.props),
@@ -266,7 +282,9 @@ class LakeTable:
             order_cols=snap.order_cols,
             bucket_col=snap.bucket_col,
             num_buckets=snap.num_buckets,
-            files=self._write_files(self._with_bucket(out, snap), snap.version + 1),
+            files=self._write_files(
+                self._with_bucket(out, snap), snap.version + 1, snap.num_buckets
+            ),
             applied=dict(snap.applied),
             watermark_lsn=snap.watermark_lsn,
             props=dict(snap.props),
@@ -338,11 +356,22 @@ class LakeTable:
         schema_json = json.dumps(schema.jsonValue())
         types = {f.name: f.dataType for f in schema.fields}
 
-        # -- affected buckets (tiny collect: at most num_buckets ints)
+        # -- affected buckets + max lsn in one tiny aggregation. This pass
+        # recomputes the dedup, but Catalyst prunes it down to the
+        # (bucket, lsn) columns — deliberately NOT cached: materializing
+        # the winners into the block cache costs more than the pruned
+        # recompute, and the write job below is the only full pass.
+        debug = os.environ.get("ETL_DEBUG_MERGE")
+        t_stats = time.monotonic()
         src = self._with_bucket(winners, snap)
-        affected = sorted(
-            r[0] for r in src.select(_BUCKET).distinct().collect()
-        )
+        stats_row = src.agg(
+            F.collect_set(_BUCKET).alias("buckets"),
+            F.max(F.col(lsn_col)).alias("hi_lsn"),
+        ).collect()[0]
+        if debug:
+            print(f"[merge] bucket/lsn stats: {time.monotonic()-t_stats:.1f}s")
+        affected = sorted(stats_row["buckets"])
+        hi_lsn = stats_row["hi_lsn"]
         if not affected:
             return {"version": snap.version, "skipped": True, "reason": "empty batch"}
 
@@ -397,14 +426,18 @@ class LakeTable:
             )
 
         # -- rewrite affected buckets, keep the rest
+        t_write = time.monotonic()
         out = self._with_bucket(final, snap)
-        new_files = self._write_files(out, snap.version + 1, write_partitions)
+        new_files = self._write_files(
+            out, snap.version + 1, len(affected), write_partitions
+        )
+        if debug:
+            print(f"[merge] union+write: {time.monotonic()-t_write:.1f}s")
         kept = [f for f in snap.files if f["bucket"] not in set(affected)]
 
         applied = dict(snap.applied)
         if run_id is not None and batch_id is not None:
             applied[run_id] = max(applied.get(run_id, -1), batch_id)
-        hi_lsn = src.agg(F.max(F.col(lsn_col))).collect()[0][0]
 
         new_snap = Snapshot(
             version=snap.version + 1,

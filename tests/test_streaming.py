@@ -1,0 +1,134 @@
+"""Streaming driver: checkpoint resume, exactly-once, schema evolution,
+hot-key skew — the north-rule behaviors (BASELINE.json north_star)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rs_spark.cdc.lineage import read_lineage
+from etl_rs_spark.cdc.stream import StreamDriver
+from etl_rs_spark.config import CdcConfig
+from etl_rs_spark.generator import (
+    gen_change_stream,
+    to_envelope,
+    write_event_files,
+)
+from etl_rs_spark.oracle import replay
+from etl_rs_spark.sinks.lake import LakeTable
+from tests.util import assert_state_equal
+
+TABLE_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+N_EVENTS = 4000
+EVOLVE_AT = 2500
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    ev = gen_change_stream(
+        spark,
+        n_events=N_EVENTS,
+        n_convs=40,
+        turns_per_conv=8,
+        seed=11,
+        hot_conv_frac=0.5,  # skew fixture: one conv ~50% of events
+        evolve_after_lsn=EVOLVE_AT,  # additive lang column mid-stream
+    ).cache()
+    yield ev
+    ev.unpersist()
+
+
+@pytest.fixture(scope="module")
+def binlog(spark, stream, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("binlog"))
+    files = write_event_files(to_envelope(stream), d, n_files=6)
+    return d, files
+
+
+def _mk_table(spark, tmp_path):
+    return LakeTable.create(spark, str(tmp_path / "table"), TABLE_DDL, num_buckets=8)
+
+
+def test_restart_resumes_and_matches_oracle(spark, tmp_path, stream, binlog):
+    """Kill/restart mid-stream: run phase 1 over a partial binlog, then a
+    brand-new driver on the same checkpoint over the full binlog. Batch
+    ids must continue (no reprocessing) and the final state must equal
+    the full-replay oracle — including the evolved column."""
+    _, files = binlog
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    for f in files[:3]:
+        shutil.copy(f, live)
+
+    table = _mk_table(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    lineage = str(tmp_path / "lineage")
+
+    d1 = StreamDriver(
+        spark, table, live, ckpt, max_files_per_trigger=1, lineage_dir=lineage
+    )
+    s1 = d1.run_available_now(timeout_s=300)
+    assert [s["batch_id"] for s in s1] == [0, 1, 2]
+
+    for f in files[3:]:
+        shutil.copy(f, live)
+    d2 = StreamDriver(
+        spark, table, live, ckpt, max_files_per_trigger=1, lineage_dir=lineage
+    )
+    s2 = d2.run_available_now(timeout_s=300)
+    assert [s["batch_id"] for s in s2] == [3, 4, 5]  # resumed, not replayed
+
+    oracle = replay(stream.toPandas())
+    assert_state_equal(table.read().toPandas(), oracle)
+
+    # drained re-run: nothing new, table untouched
+    v = table.current().version
+    s3 = StreamDriver(spark, table, live, ckpt).run_available_now(timeout_s=120)
+    assert s3 == []
+    assert table.current().version == v
+
+    # lineage audit: every batch wrote per-bucket rows; skewed bucket is
+    # visibly the heaviest
+    ln = read_lineage(spark, lineage).toPandas()
+    assert set(ln["batch_id"]) == {0, 1, 2, 3, 4, 5}
+    per_bucket = ln.groupby("bucket")["n_events"].sum()
+    assert per_bucket.max() >= 0.4 * per_bucket.sum()  # hot bucket present
+    assert int(ln["n_events"].sum()) == N_EVENTS
+
+
+def test_schema_evolution_widen_and_null_backfill(spark, tmp_path, stream, binlog):
+    events_dir, _ = binlog
+    table = _mk_table(spark, tmp_path)
+    driver = StreamDriver(
+        spark, table, events_dir, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    stats = driver.run_available_now(timeout_s=300)
+
+    widened_at = [s["batch_id"] for s in stats if s.get("schema_widened")]
+    assert widened_at, "lang column never widened the schema"
+    # before the widening batch, schema had no lang
+    pre = table.snapshot(widened_at[0]).schema().fieldNames()
+    assert "lang" not in pre
+    post = table.current().schema().fieldNames()
+    assert "lang" in post
+
+    final = table.read()
+    assert final.where(F.col("lang").isNotNull()).count() > 0
+    # keys last touched before evolution read as null lang (backfill)
+    assert final.where(F.col("lang").isNull()).count() > 0
+
+    assert_state_equal(final.toPandas(), replay(stream.toPandas()))
+
+
+def test_skewed_stream_with_salted_dedup(spark, tmp_path, stream):
+    table = _mk_table(spark, tmp_path)
+    cfg = CdcConfig(salt_buckets=8)
+    from etl_rs_spark.cdc.apply import apply_batch
+
+    apply_batch(table, to_envelope(stream), batch_id=0, run_id="r", cfg=cfg)
+    assert_state_equal(table.read().toPandas(), replay(stream.toPandas()))
