@@ -216,6 +216,89 @@ def q_agg_reference_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY.md §2.6 — absent in the reference):
+    segments of high-balance customers EXCEPT segments of customers with
+    an open ('O') order, UNION the intersection count pattern."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rich = c.where(F.col("c_acctbal") > 7000).select("c_custkey")
+    open_o = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    only_rich = rich.exceptAll(rich.intersect(open_o)).withColumn(
+        "kind", F.lit("rich_no_open")
+    )
+    both = rich.intersect(open_o).withColumn("kind", F.lit("rich_open"))
+    return only_rich.unionByName(both).groupBy("kind").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (streaming/windows.py —
+    the reference's docs-only windowing, done for real)."""
+    from etl_rs_spark.streaming.windows import tumbling_window_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = tumbling_window_agg(
+        e,
+        "ts",
+        "1 hour",
+        [
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        ],
+        group_by=["event_type"],
+    )
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        "value_sum",
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over documents (rows-only check: the
+    hash family is engine-specific so no SQL oracle; the pytest suite
+    verifies planted-duplicate recovery)."""
+    from etl_rs_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.5)
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + per-band distribution (rows-only)."""
+    from etl_rs_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash("text").alias("fp"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID distribution (rows-only: the stopword
+    argmax is engine-defined)."""
+    from etl_rs_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(lang_id("text").alias("pred_lang")).groupBy(
+        "pred_lang"
+    ).agg(F.count("*").alias("n_docs"))
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score distribution (rows-only: weights are
+    engine-defined)."""
+    from etl_rs_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        (F.floor(quality_score("text") * 10) / 10).alias("q_bucket")
+    ).groupBy("q_bucket").agg(F.count("*").alias("n_docs"))
+
+
 # -------------------------------------------------------------- contract --
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -236,6 +319,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "ann_topk": q_ann_topk,
         "agg_reference_naming": q_agg_reference_naming,
+        "set_ops": q_set_ops,
+        "window_tumbling": q_window_tumbling,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
     }
 
 
@@ -351,4 +440,36 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 4) AS value_average
             FROM events GROUP BY event_type
         """,
+        "set_ops": """
+            WITH rich AS (
+                SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+            ), open_o AS (
+                SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                WHERE o_orderstatus = 'O'
+            ), bothseg AS (
+                SELECT c_custkey FROM rich INTERSECT SELECT c_custkey FROM open_o
+            )
+            SELECT kind, count(*) AS n FROM (
+                SELECT c_custkey, 'rich_no_open' AS kind FROM (
+                    SELECT c_custkey FROM rich
+                    EXCEPT ALL
+                    SELECT c_custkey FROM bothseg
+                )
+                UNION ALL
+                SELECT c_custkey, 'rich_open' AS kind FROM bothseg
+            ) GROUP BY kind
+        """,
+        "window_tumbling": """
+            SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum
+            FROM events
+            GROUP BY 1, 2
+        """,
+        # minhash_pairs / simhash_fingerprints / lang_id / quality_scores:
+        # intentionally no oracle (engine-defined hash families and
+        # weights) -> driver records rows-only checks; correctness is
+        # covered by planted-duplicate tests in tests/test_dedup_fuzzy.py
+        # and tests/test_text_ann_multimodal.py.
     }

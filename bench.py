@@ -70,12 +70,14 @@ def run_cdc_bench(
         to_envelope(ev).write.parquet(env_path)
         envelope = spark.read.parquet(env_path)
 
+        # num_buckets is a TABLE property — identical at every
+        # parallelism level so the N-vs-4N comparison runs the same job.
         table = LakeTable.create(
             spark,
             os.path.join(work, "table"),
             "conv_id string, turn_idx int, role string, text string, "
             "tool string, ts timestamp",
-            num_buckets=max(parallelism, 16),
+            num_buckets=32,
         )
         cfg = CdcConfig()
         per = (n_events + batches - 1) // batches
@@ -104,6 +106,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "1000000"))
+    n_batches = int(os.environ.get("SPARK_GRAFT_CDC_BATCHES", "4"))
     cdc_only = "--cdc-only" in sys.argv
     queries_only = "--queries-only" in sys.argv
 
@@ -115,7 +118,7 @@ def main() -> None:
         queries = run_headline_queries(spark, sf_dir)
     cdc = None
     if not queries_only:
-        cdc = run_cdc_bench(spark, n_events, cpus)
+        cdc = run_cdc_bench(spark, n_events, cpus, batches=n_batches)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {

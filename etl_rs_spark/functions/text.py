@@ -120,4 +120,4 @@ def shingle_fingerprint(col: Column | str, k: int = 5) -> Column:
     n = F.size(w)
     idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
     shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
-    return F.array_min(F.transform(shingles, F.xxhash64))
+    return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s)))

@@ -22,8 +22,12 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 _SALT = "__salt"
 _ROW = "__row"
@@ -31,12 +35,16 @@ _ORD = "__ord"
 
 
 def _pick_winner(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]) -> DataFrame:
+    # max(struct(order_cols..., payload...)) — lexicographic struct
+    # ordering on the leading order columns picks the LWW winner; the
+    # payload fields never decide because (order_cols) is unique per key.
+    # Chosen over max_by(struct, struct): Max is a declarative aggregate
+    # (stays in hash-agg codegen), while max_by is object-hash and falls
+    # back to sort-based aggregation beyond 128 keys per partition.
     payload = [c for c in df.columns if c not in keys]
+    ordered = list(order_cols) + [c for c in payload if c not in order_cols]
     agg = df.groupBy(*keys).agg(
-        F.max_by(
-            F.struct(*[F.col(c) for c in payload]),
-            F.struct(*[F.col(c) for c in order_cols]),
-        ).alias(_ROW)
+        F.max(F.struct(*[F.col(c) for c in ordered])).alias(_ROW)
     )
     return agg.select(*keys, *[F.col(f"{_ROW}.{c}").alias(c) for c in payload])
 
@@ -62,6 +70,333 @@ def lww_dedup(
         partial = _pick_winner(salted, keys + [_SALT], order_cols)
         return _pick_winner(partial.drop(_SALT), keys, order_cols)
     return _pick_winner(df, keys, order_cols)
+
+
+def shingles(col, k: int = 5) -> F.Column:
+    """Word k-shingles of a text column -> array<string> (lowercased)."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = F.split(F.lower(F.trim(c)), r"\s+")
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def minhash_signature(col, num_hashes: int = 64, k: int = 5) -> F.Column:
+    """MinHash signature (array<long>, one min per hash family member).
+
+    The shingles are string-hashed ONCE (xxhash64, JVM-side), then the
+    family members are cheap affine rehashes min((a_i*h + b_i) mod M31)
+    over the precomputed hash array — 64 multiply-adds per shingle
+    instead of 64 string hash passes (an order of magnitude faster).
+    Operands are first reduced mod 2^31 so the arithmetic never
+    overflows a long (ANSI mode safe). Deterministic: a_i/b_i derive
+    from a fixed seeded generator."""
+    import random
+
+    rng = random.Random(0x5EED)
+    coeffs = [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _min_all(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            if h is None or len(h) == 0:
+                out.append([_MERSENNE31] * len(a_vec))
+                continue
+            arr = np.asarray(h, dtype=np.int64)[None, :]
+            out.append(((a_vec * arr + b_vec) % _MERSENNE31).min(axis=1).tolist())
+        return pd.Series(out)
+
+    sh = shingles(col, k)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
+    # base hashes stay JVM-side (one xxhash64 pass over the shingles);
+    # the 64 affine re-hashes + mins run as ONE numpy matmul-shaped op
+    # per Arrow batch — Spark's interpreted higher-order lambdas cost
+    # ~1us/element, which at 64 x shingles x docs dominates everything.
+    return _min_all(base)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs with estimated
+    Jaccard >= threshold.
+
+    shingle -> minhash -> band -> bucket-join: signatures are split into
+    ``bands`` bands of num_hashes/bands rows each; docs sharing any
+    band hash become candidates (standard S-curve selectivity). The
+    candidate join is an equi-join on (band, band_hash) — shuffle is
+    proportional to candidates, never O(n^2). Estimated Jaccard =
+    fraction of matching signature positions.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(text_col, num_hashes, shingle_k).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("__sig", b * rows + r + 1) for r in range(rows)]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "__sig", "__b.band", "__b.bhash")
+
+    left = banded.select(
+        F.col("band"), F.col("bhash"),
+        F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
+    )
+    right = banded.select(
+        F.col("band"), F.col("bhash"),
+        F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"),
+    )
+    cand = (
+        left.join(right, ["band", "bhash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: for every LSH pair above threshold, the
+    larger id is removed (single-pass greedy; for full transitive
+    clustering run connected components over the pairs)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash(col, bits: int = 64) -> F.Column:
+    """SimHash of a text column, as a signed 64-bit long. Per token the
+    64-bit xxhash votes +1/-1 per bit position; the sign of each summed
+    position forms the fingerprint. Pure Column fold — JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    # literal per-bit masks (shiftleft needs a python-int shift, so the
+    # lambda-variable bit index selects from this array instead); bit 63
+    # wraps to the sign bit of a signed long.
+    def mask_val(i: int) -> int:
+        v = 1 << i
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    masks = F.array(*[F.lit(mask_val(i)).cast("long") for i in range(bits)])
+    # acc: array<int> of per-bit counters, folded over token hashes
+    zero = F.array_repeat(F.lit(0), bits)
+    counters = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                masks,
+                lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            masks,
+            lambda cnt, m: F.when(cnt > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= max_hamming.
+
+    Pigeonhole banding: a 64-bit fingerprint is split into ``bands``
+    chunks; any pair within max_hamming < bands must agree exactly on at
+    least one chunk, so candidates come from equi-joins on chunk values —
+    no O(n^2) compare. Verification = popcount(xor) <= max_hamming.
+    """
+    width = 64 // bands
+    fp = df.select(
+        F.col(id_col).alias("__id"), simhash(text_col).alias("__fp")
+    )
+    chunks = fp.select(
+        "__id",
+        "__fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("__fp", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__c"),
+    ).select("__id", "__fp", "__c.band", "__c.chunk")
+    left = chunks.select("band", "chunk", F.col("__id").alias("id_a"), F.col("__fp").alias("fp_a"))
+    right = chunks.select("band", "chunk", F.col("__id").alias("id_b"), F.col("__fp").alias("fp_b"))
+    cand = (
+        left.join(right, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard similarity pairs >= threshold, as a
+    set-similarity join: explode distinct n-grams, equi-join on the
+    n-gram (shuffle ~ total postings, candidates ~ co-occurrence), count
+    intersections, compute |A∩B| / (|A|+|B|-|A∩B|). The exact
+    counterpart to the MinHash estimate — use on bounded corpora or as
+    the verification stage after LSH."""
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("g"),
+    )
+    sizes = grams.groupBy("__id").agg(F.count("*").alias("sz"))
+    a = grams.select(F.col("__id").alias("id_a"), "g")
+    b = grams.select(F.col("__id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"__id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"__id": "id_b", "sz": "sz_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 12,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold).
+
+    Scale path (default): random-hyperplane LSH — ``planes`` signed
+    projections form a bucket key; only same-bucket pairs are compared
+    exactly. High-cosine pairs collide with probability
+    (1 - theta/pi)^planes, so misses are possible (raise by multiple
+    tables / fewer planes). exact=True does the full O(n^2) self-join —
+    correctness oracle for bounded inputs.
+    """
+    from etl_rs_spark.functions.similarity import cosine
+
+    if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        sim = cosine(F.col("va"), F.col("vb"))
+        return cand.select(
+            "id_a", "id_b", F.round(sim, 4).alias("cosine")
+        ).where(F.col("cosine") >= threshold)
+
+    import numpy as np
+
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    hyper = rng.standard_normal((planes, dim)).astype("float64")
+    sig_bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(v)) for v in hyper[p]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        ).cast("int")
+        for p in range(planes)
+    ]
+    bucket = F.concat_ws("", *[b.cast("string") for b in sig_bits])
+    keyed = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), bucket.alias("__bk")
+    )
+    a = keyed.select(F.col("__bk"), F.col("__id").alias("id_a"), F.col("__v").alias("va"))
+    b = keyed.select(F.col("__bk"), F.col("__id").alias("id_b"), F.col("__v").alias("vb"))
+    cand = a.join(b, "__bk").where(F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return cand.select("id_a", "id_b", F.round(sim, 4).alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )
 
 
 def exact_dedup(

@@ -65,6 +65,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # CDC envelope scans are CPU-bound (JSON payload parse), not
+        # IO-bound: smaller splits keep every core busy even when the
+        # binlog arrives as few/small files. 128MB default packs a whole
+        # microbatch into 1-2 tasks.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

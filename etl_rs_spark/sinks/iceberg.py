@@ -1,0 +1,122 @@
+"""Iceberg-backed merge sink — the production target of the LakeTable
+interface (sinks/lake.py implements the same semantics without the jar).
+
+This sandbox has no network and no iceberg-spark-runtime jar, so this
+module is import-gated: ``iceberg_available(spark)`` reports whether the
+Iceberg SQL extensions are live, and IcebergTable raises a clear error
+otherwise. On a real cluster, enable with:
+
+    spark-submit \
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \
+      --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions \
+      --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.lake.type=hadoop \
+      --conf spark.sql.catalog.lake.warehouse=<path>
+
+The MERGE here is the statement the reference's DeltaLoader stub was
+meant to issue (/root/reference/src/load/delta.rs:255-267 logs a warning
+and appends instead); with LWW guards it is idempotent under replay,
+matching LakeTable.merge semantics exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_rs_spark.errors import LoadError
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class IcebergTable:
+    """Same interface as LakeTable (create/read/merge), issuing Iceberg
+    SQL. Single source of truth for the MERGE statement shape."""
+
+    def __init__(self, spark: SparkSession, table: str):
+        if not iceberg_available(spark):
+            raise LoadError(
+                "iceberg-spark-runtime not on the classpath; use "
+                "sinks.lake.LakeTable (identical semantics) or submit with "
+                "the Iceberg package/extensions — see module docstring"
+            )
+        self.spark = spark
+        self.table = table
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        table: str,
+        schema_ddl: str,
+        bucket_col: str = "conv_id",
+        num_buckets: int = 16,
+    ) -> "IcebergTable":
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {table} ({schema_ddl}, _lsn BIGINT, "
+            f"_deleted BOOLEAN) USING iceberg "
+            f"PARTITIONED BY (bucket({num_buckets}, {bucket_col}))"
+        )
+        return cls(spark, table)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        df = (
+            self.spark.read.option("snapshot-id", version).table(self.table)
+            if version is not None
+            else self.spark.read.table(self.table)
+        )
+        return df.where("NOT coalesce(_deleted, false)").drop("_lsn", "_deleted")
+
+    def widen(self, new_cols: dict[str, str]) -> None:
+        """Additive schema evolution before MERGE."""
+        for name, typ in new_cols.items():
+            self.spark.sql(
+                f"ALTER TABLE {self.table} ADD COLUMN IF NOT EXISTS {name} {typ}"
+            )
+
+    def merge(
+        self,
+        winners: DataFrame,
+        run_id: str | None = None,
+        batch_id: int | None = None,
+    ) -> dict[str, Any]:
+        """LWW MERGE keyed on (conv_id, turn_idx) with the (ts, _lsn)
+        guard that makes replay idempotent; deletes become tombstones so
+        late older events cannot resurrect (same rationale as
+        LakeTable.merge)."""
+        existing = {f.name for f in self.spark.read.table(self.table).schema.fields}
+        incoming = {
+            f.name: f.dataType.simpleString()
+            for f in winners.schema.fields
+            if f.name not in ("op", "lsn")
+        }
+        self.widen({k: v for k, v in incoming.items() if k not in existing})
+
+        cols = [c for c in winners.columns if c not in ("op", "lsn")]
+        winners.createOrReplaceTempView("__cdc_src")
+        set_cols = ", ".join(f"t.{c} = s.{c}" for c in cols)
+        ins_cols = ", ".join(cols + ["_lsn", "_deleted"])
+        ins_vals = ", ".join([f"s.{c}" for c in cols] + ["s.lsn", "s.op = 'D'"])
+        self.spark.sql(
+            f"""
+            MERGE INTO {self.table} t
+            USING __cdc_src s
+            ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+            WHEN MATCHED AND (s.ts, s.lsn) > (t.ts, t._lsn) AND s.op = 'D'
+              THEN UPDATE SET t._deleted = true, t._lsn = s.lsn, t.ts = s.ts
+            WHEN MATCHED AND (s.ts, s.lsn) > (t.ts, t._lsn)
+              THEN UPDATE SET {set_cols}, t._lsn = s.lsn, t._deleted = false
+            WHEN NOT MATCHED
+              THEN INSERT ({ins_cols}) VALUES ({ins_vals})
+            """
+        )
+        return {"table": self.table, "batch_id": batch_id, "run_id": run_id}

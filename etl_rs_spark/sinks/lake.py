@@ -64,6 +64,13 @@ _BUCKET = "__b"
 _OP = "op"
 
 
+def _footer_rows(path: str) -> int:
+    """Row count from the parquet footer — no data read."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _with_meta_cols(schema: T.StructType) -> T.StructType:
     """User schema + hidden (_lsn, _deleted) — fresh object, no mutation."""
     return T.StructType(
@@ -214,36 +221,61 @@ class LakeTable:
         )
 
     # ----------------------------------------------------------- writes --
+    def _cores(self) -> int:
+        return int(self.spark.conf.get("spark.sql.shuffle.partitions", "16"))
+
     def _write_files(
         self,
         df: DataFrame,
         version: int,
         n_buckets_touched: int,
         write_partitions: int | None = None,
+        bucket_volume: dict[int, int] | None = None,
     ) -> list[dict[str, Any]]:
         """Write df (which must carry _BUCKET) under a fresh commit dir
-        and return [{path, bucket}] for the manifest.
+        and return [{path, bucket, rows}] for the manifest.
 
-        Partitioning discipline: by default exactly one shuffle partition
-        per touched bucket, so each bucket lands in ONE file and the
-        commit produces O(buckets) files, not O(tasks x buckets). When
-        write_partitions > buckets (huge batches / hot buckets), rows are
-        additionally salted so a single bucket is written by several
-        tasks in parallel — the manifest tracks multiple files per bucket
-        transparently."""
+        Skew-aware write planning: when ``bucket_volume`` (expected rows
+        per bucket — existing + incoming, known exactly from manifest
+        row counts + the batch stats pass) is provided, each bucket gets
+        ceil(volume / target_rows_per_task) salt slots, so a hot
+        conversation's bucket is written by proportionally many tasks
+        while cold buckets stay one-file-per-bucket. Without stats, one
+        partition per touched bucket. File->bucket purity is preserved
+        either way (partitionBy on the bucket), which is what keeps
+        merge-time partition pruning exact."""
         commit_dir = os.path.join(self.data_dir, f"commit-{version:08d}")
-        wp = write_partitions or max(n_buckets_touched, 1)
-        per_bucket = max(wp // max(n_buckets_touched, 1), 1)
-        if per_bucket > 1:
-            salt = F.pmod(F.xxhash64(F.col(LSN_COL)), F.lit(per_bucket))
-            shuffled = df.repartition(wp, F.col(_BUCKET), salt)
+        wp = max(write_partitions or max(n_buckets_touched, 1), 1)
+        if bucket_volume:
+            wp = max(wp, self._cores())
+            total = sum(bucket_volume.values()) or 1
+            target = max(total // wp, 1)
+            salt_n = {
+                b: max(min((v + target - 1) // target, wp), 1)
+                for b, v in bucket_volume.items()
+            }
+            if any(n > 1 for n in salt_n.values()):
+                salt_map = F.create_map(
+                    *[
+                        F.lit(x)
+                        for kv in salt_n.items()
+                        for x in kv
+                    ]
+                )
+                salt = F.pmod(
+                    F.xxhash64(F.col(LSN_COL)),
+                    F.coalesce(F.element_at(salt_map, F.col(_BUCKET)), F.lit(1)),
+                )
+                shuffled = df.repartition(wp, F.col(_BUCKET), salt)
+            else:
+                shuffled = df.repartition(wp, F.col(_BUCKET))
         else:
             shuffled = df.repartition(wp, F.col(_BUCKET))
         shuffled.write.partitionBy(_BUCKET).mode("overwrite").parquet(commit_dir)
         out = []
         for p in glob.glob(os.path.join(commit_dir, f"{_BUCKET}=*", "*.parquet")):
             b = int(p.split(f"{_BUCKET}=")[1].split(os.sep)[0])
-            out.append({"path": p, "bucket": b})
+            out.append({"path": p, "bucket": b, "rows": _footer_rows(p)})
         return out
 
     def _with_bucket(self, df: DataFrame, snap: Snapshot) -> DataFrame:
@@ -306,6 +338,70 @@ class LakeTable:
             *cols, lsn.alias(LSN_COL), F.lit(False).alias(DELETED_COL)
         )
 
+    # ------------------------------------------------------ maintenance --
+    def expire_snapshots(self, keep_last: int = 5) -> dict[str, Any]:
+        """Drop old snapshot manifests and delete data files referenced
+        ONLY by them (Iceberg expire_snapshots). Time travel remains
+        available for the kept window."""
+        cur = self.current()
+        versions = sorted(
+            int(p.split("version-")[1].split(".")[0])
+            for p in glob.glob(os.path.join(self.meta_dir, "version-*.json"))
+        )
+        keep = set(versions[-keep_last:]) | {cur.version}
+        live: set[str] = set()
+        for v in keep:
+            live.update(f["path"] for f in self.snapshot(v).files)
+        removed_files = 0
+        for v in versions:
+            if v in keep:
+                continue
+            for f in self.snapshot(v).files:
+                if f["path"] not in live and os.path.exists(f["path"]):
+                    os.remove(f["path"])
+                    removed_files += 1
+            os.remove(os.path.join(self.meta_dir, f"version-{v:08d}.json"))
+        return {"expired_versions": len(versions) - len(keep), "files_deleted": removed_files}
+
+    def compact(
+        self,
+        tombstone_lsn_horizon: int | None = None,
+    ) -> dict[str, Any]:
+        """Rewrite every bucket into one file (small-file compaction) and
+        optionally drop tombstones whose lsn <= horizon — safe once no
+        replay can deliver events at or below that LSN (e.g. the stream's
+        committed watermark). A new snapshot is committed atomically;
+        concurrent readers keep their snapshot."""
+        snap = self.current()
+        if not snap.files:
+            return {"version": snap.version, "skipped": True}
+        df = self.read(include_meta=True)
+        if tombstone_lsn_horizon is not None:
+            df = df.where(
+                ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+                | (F.col(LSN_COL) > tombstone_lsn_horizon)
+            )
+        out = self._with_bucket(df, snap)
+        new_files = self._write_files(out, snap.version + 1, snap.num_buckets)
+        new_snap = Snapshot(
+            version=snap.version + 1,
+            schema_json=snap.schema_json,
+            key_cols=snap.key_cols,
+            order_cols=snap.order_cols,
+            bucket_col=snap.bucket_col,
+            num_buckets=snap.num_buckets,
+            files=new_files,
+            applied=dict(snap.applied),
+            watermark_lsn=snap.watermark_lsn,
+            props=dict(snap.props),
+        )
+        self._commit(new_snap)
+        return {
+            "version": new_snap.version,
+            "files_before": len(snap.files),
+            "files_after": len(new_files),
+        }
+
     # ------------------------------------------------------------ merge --
     def merge(
         self,
@@ -356,22 +452,26 @@ class LakeTable:
         schema_json = json.dumps(schema.jsonValue())
         types = {f.name: f.dataType for f in schema.fields}
 
-        # -- affected buckets + max lsn in one tiny aggregation. This pass
-        # recomputes the dedup, but Catalyst prunes it down to the
-        # (bucket, lsn) columns — deliberately NOT cached: materializing
-        # the winners into the block cache costs more than the pruned
-        # recompute, and the write job below is the only full pass.
+        # -- per-bucket winner counts + max lsn in one tiny aggregation
+        # (at most num_buckets result rows). This pass recomputes the
+        # dedup, but Catalyst prunes it down to the (bucket, lsn)
+        # columns — deliberately NOT cached: materializing the winners
+        # into the block cache costs more than the pruned recompute, and
+        # the write job below is the only full pass. The counts feed the
+        # skew-aware write plan.
         debug = os.environ.get("ETL_DEBUG_MERGE")
         t_stats = time.monotonic()
         src = self._with_bucket(winners, snap)
-        stats_row = src.agg(
-            F.collect_set(_BUCKET).alias("buckets"),
-            F.max(F.col(lsn_col)).alias("hi_lsn"),
-        ).collect()[0]
+        stats_rows = (
+            src.groupBy(_BUCKET)
+            .agg(F.count("*").alias("n"), F.max(F.col(lsn_col)).alias("hi"))
+            .collect()
+        )
         if debug:
             print(f"[merge] bucket/lsn stats: {time.monotonic()-t_stats:.1f}s")
-        affected = sorted(stats_row["buckets"])
-        hi_lsn = stats_row["hi_lsn"]
+        incoming_counts = {r[_BUCKET]: r["n"] for r in stats_rows}
+        affected = sorted(incoming_counts)
+        hi_lsn = max((r["hi"] for r in stats_rows), default=None)
         if not affected:
             return {"version": snap.version, "skipped": True, "reason": "empty batch"}
 
@@ -407,11 +507,13 @@ class LakeTable:
         # AQE handles residual skew.
         combined = existing.unionByName(incoming)
         payload = [c for c in combined.columns if c not in snap.key_cols]
+        # max(struct((ts, _lsn) first, payload after)) == LWW winner; see
+        # operators/dedup._pick_winner for why max over max_by.
+        ordered = [ts_col, LSN_COL] + [
+            c for c in payload if c not in (ts_col, LSN_COL)
+        ]
         merged = combined.groupBy(*snap.key_cols).agg(
-            F.max_by(
-                F.struct(*[F.col(c) for c in payload]),
-                F.struct(F.col(ts_col), F.col(LSN_COL)),
-            ).alias("__w")
+            F.max(F.struct(*[F.col(c) for c in ordered])).alias("__w")
         )
         final = merged.select(
             *snap.key_cols, *[F.col(f"__w.{c}").alias(c) for c in payload]
@@ -425,11 +527,20 @@ class LakeTable:
                 c, F.when(F.col(DELETED_COL), F.lit(None).cast(types[c])).otherwise(F.col(c))
             )
 
-        # -- rewrite affected buckets, keep the rest
+        # -- rewrite affected buckets, keep the rest. Expected write
+        # volume per bucket = existing rows (manifest footer counts) +
+        # incoming winners — drives the skew-aware salt plan.
         t_write = time.monotonic()
+        volume: dict[int, int] = dict(incoming_counts)
+        for f in cur_files:
+            volume[f["bucket"]] = volume.get(f["bucket"], 0) + f.get("rows", 0)
         out = self._with_bucket(final, snap)
         new_files = self._write_files(
-            out, snap.version + 1, len(affected), write_partitions
+            out,
+            snap.version + 1,
+            len(affected),
+            write_partitions,
+            bucket_volume=volume,
         )
         if debug:
             print(f"[merge] union+write: {time.monotonic()-t_write:.1f}s")

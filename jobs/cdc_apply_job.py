@@ -1,0 +1,87 @@
+"""spark-submit entrypoint for the CDC apply stream (north_star: "launched
+via spark-submit --py-files on a multi-executor cluster").
+
+Package the engine and submit:
+
+    cd /root/repo && zip -r /tmp/etl_rs_spark.zip etl_rs_spark
+    spark-submit --py-files /tmp/etl_rs_spark.zip \
+        jobs/cdc_apply_job.py \
+        --events-dir /data/binlog --table /data/transcripts \
+        --checkpoint /data/ckpt --lineage /data/lineage \
+        [--create-table] [--num-buckets 64] [--trigger "10 seconds"] \
+        [--max-files-per-trigger 100] [--salt-buckets 0]
+
+On a cluster the session comes from spark-submit (get_spark passes a
+non-local session through untouched); locally it builds local[N].
+Replay mode (default) drains all available binlog files and exits;
+--trigger tails the directory continuously.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="CDC apply stream")
+    p.add_argument("--events-dir", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--lineage", default=None)
+    p.add_argument("--create-table", action="store_true")
+    p.add_argument("--num-buckets", type=int, default=64)
+    p.add_argument("--salt-buckets", type=int, default=0)
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--trigger", default=None, help="processingTime, e.g. '10 seconds'; omit for availableNow replay")
+    p.add_argument("--schema", default=(
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    ))
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+
+    from etl_rs_spark.cdc.stream import StreamDriver
+    from etl_rs_spark.config import CdcConfig
+    from etl_rs_spark.session import get_spark
+    from etl_rs_spark.sinks.lake import LakeTable
+
+    spark = get_spark("cdc-apply")
+    if args.create_table:
+        table = LakeTable.create(
+            spark, args.table, args.schema,
+            num_buckets=args.num_buckets, exist_ok=True,
+        )
+    else:
+        table = LakeTable.load(spark, args.table)
+
+    driver = StreamDriver(
+        spark,
+        table,
+        args.events_dir,
+        args.checkpoint,
+        cfg=CdcConfig(salt_buckets=args.salt_buckets),
+        max_files_per_trigger=args.max_files_per_trigger,
+        lineage_dir=args.lineage,
+    )
+    if args.trigger:
+        q = driver.start(processing_time=args.trigger)
+        q.awaitTermination()
+        return 0
+    stats = driver.run_available_now()
+    for s in stats:
+        print(json.dumps(s, default=str))
+    print(json.dumps({
+        "batches_applied": len(stats),
+        "table_version": table.current().version,
+        "watermark_lsn": table.current().watermark_lsn,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,111 @@
+"""Fuzzy dedup suite: MinHash-LSH, SimHash, exact n-gram Jaccard,
+embedding near-dup — planted-duplicate recovery tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rs_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the old oak tree "
+    "near the quiet river bend all through the long summer afternoon"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # tiny edit
+FAR = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution and adaptive "
+    "optimization strategies for large scale analytical workloads today"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, NEAR),        # near-dup of 1
+        (3, FAR),
+        (4, BASE),        # exact dup of 1
+        (5, FAR + " with an extra trailing sentence appended at the end"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def pair_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    got = pair_set(pairs)
+    assert (1, 4) in got  # exact dup -> jaccard 1.0
+    assert (1, 2) in got and (2, 4) in got  # near dup
+    assert (1, 3) not in got and (2, 3) not in got
+    exact_est = {r["est_jaccard"] for r in pairs.where("id_a=1 and id_b=4").collect()}
+    assert exact_est == {1.0}
+
+
+def test_minhash_dedup_drops_losers(docs):
+    kept = minhash_dedup(docs, threshold=0.5)
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert 1 in ids and 3 in ids
+    assert 2 not in ids and 4 not in ids  # larger ids of dup pairs dropped
+
+
+def test_simhash_identical_and_near(spark, docs):
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", simhash("text").alias("fp")).collect()
+    }
+    assert fps[1] == fps[4]  # identical text -> identical fingerprint
+    ham12 = bin(fps[1] ^ fps[2]).count("1")
+    ham13 = bin(fps[1] ^ fps[3]).count("1")
+    assert ham12 < ham13  # near-dup closer than unrelated
+
+    pairs = simhash_pairs(docs, max_hamming=3)
+    got = pair_set(pairs)
+    assert (1, 4) in got
+    assert (1, 3) not in got
+
+
+def test_ngram_jaccard_exact(docs):
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 4)] == 1.0
+    assert 0.5 <= got[(1, 2)] < 1.0
+    assert (1, 3) not in got
+
+
+def test_embedding_neardup_exact_and_lsh(spark):
+    import random
+
+    random.seed(7)
+    base = [random.gauss(0, 1) for _ in range(32)]
+    near = [x + random.gauss(0, 0.01) for x in base]
+    far = [random.gauss(0, 1) for _ in range(32)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id long, embedding array<double>"
+    )
+    exact = pair_set(
+        embedding_neardup_pairs(df, threshold=0.95, exact=True)
+    )
+    assert exact == {(1, 2)}
+    lsh = pair_set(embedding_neardup_pairs(df, threshold=0.95, planes=8))
+    assert (1, 2) in lsh and (1, 3) not in lsh
+
+
+def test_exact_dedup_deterministic_keeper(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y")], "id long, text string"
+    )
+    kept = exact_dedup(df, on=["text"], keep_order=["id"])
+    got = {r["text"]: r["id"] for r in kept.collect()}
+    assert got == {"x": 1, "y": 2}  # min id kept, deterministic
