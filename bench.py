@@ -57,18 +57,26 @@ def run_cdc_bench(
         # materialize the envelope stream first so generation cost is NOT
         # counted in apply throughput (in production the binlog already
         # exists); seeded => identical input at every parallelism level.
-        env_path = os.path.join(work, "envelope")
-        ev = gen_change_stream(
-            spark,
-            n_events=n_events,
-            n_convs=max(n_events // 1000, 100),
-            turns_per_conv=32,
-            seed=42,
-            hot_conv_frac=0.2,
-            partitions=max(parallelism * 2, 8),
-        )
-        to_envelope(ev).write.parquet(env_path)
+        # SPARK_GRAFT_CDC_ENV_PATH shares one pre-generated envelope
+        # across benchmark legs (the N-vs-4N runner uses this so each
+        # timed leg is only JVM start + apply).
+        shared = os.environ.get("SPARK_GRAFT_CDC_ENV_PATH")
+        env_path = shared or os.path.join(work, "envelope")
+        if not (shared and os.path.exists(os.path.join(env_path, "_SUCCESS"))):
+            ev = gen_change_stream(
+                spark,
+                n_events=n_events,
+                n_convs=max(n_events // 1000, 100),
+                turns_per_conv=32,
+                seed=42,
+                hot_conv_frac=0.2,
+                partitions=max(parallelism * 2, 8),
+            )
+            to_envelope(ev).write.mode("overwrite").parquet(env_path)
         envelope = spark.read.parquet(env_path)
+        if "--gen-only" in sys.argv:
+            print(json.dumps({"generated": env_path, "events": n_events}))
+            sys.exit(0)
 
         # num_buckets is a TABLE property — identical at every
         # parallelism level so the N-vs-4N comparison runs the same job.

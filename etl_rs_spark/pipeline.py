@@ -44,15 +44,25 @@ class PipelineResult:
 
 
 class Pipeline:
-    def __init__(self, extractor, transform, loader, config, emitter, pipeline_id):
+    def __init__(
+        self, extractor, transform, loader, config, emitter, pipeline_id,
+        plugins=None,
+    ):
         self.extractor = extractor
         self.transform = transform
         self.loader = loader
         self.config = config
         self.emitter = emitter
         self.pipeline_id = pipeline_id
+        self.plugins = plugins
         self.metrics = PipelineMetrics()
         self.state = "idle"
+
+    def _fire(self, when: str, stage: str, df=None):
+        if self.plugins is None:
+            return df
+        ctx = {"pipeline_id": self.pipeline_id, "state": self.state}
+        return self.plugins.fire(when, stage, ctx, df)
 
     @staticmethod
     def builder() -> "PipelineBuilder":
@@ -77,7 +87,9 @@ class Pipeline:
         try:
             self._set_state("extracting")
             try:
+                self._fire("before", "extract")
                 df = self.extractor.extract(spark)
+                df = self._fire("after", "extract", df)
             except ETLError:
                 raise
             except Exception as exc:  # classify per reference taxonomy
@@ -85,8 +97,10 @@ class Pipeline:
 
             self._set_state("transforming")
             try:
+                df = self._fire("before", "transform", df)
                 if self.transform is not None:
                     df = self.transform(df)
+                df = self._fire("after", "transform", df)
             except ETLError:
                 raise
             except Exception as exc:
@@ -94,8 +108,10 @@ class Pipeline:
 
             self._set_state("loading")
             try:
+                df = self._fire("before", "load", df)
                 df = df.persist()
                 result = self.loader.load(df)
+                self._fire("after", "load", df)
                 rows = result.get("rows_loaded", -1)
                 if rows < 0:
                     rows = df.count()
@@ -173,6 +189,11 @@ class PipelineBuilder:
         self._loader = None
         self._config: EngineConfig | None = None
         self._emitter = None
+        self._plugins = None
+
+    def plugins(self, registry) -> "PipelineBuilder":
+        self._plugins = registry
+        return self
 
     def extract(self, extractor) -> "PipelineBuilder":
         self._extractor = extractor
@@ -207,4 +228,5 @@ class PipelineBuilder:
             cfg,
             self._emitter or LoggingEventEmitter(),
             pid,
+            plugins=self._plugins,
         )

@@ -119,3 +119,37 @@ def test_config_env_overrides(monkeypatch):
     monkeypatch.setenv("ETL_BATCH_SIZE", "zero")
     with pytest.raises(ConfigError):
         EngineConfig.from_env()
+
+
+def test_plugin_hooks_fire_and_rewrite(spark, users_csv):
+    """PluginRegistry parity — the reference declares these hooks but
+    never wires them into execute (/root/reference/src/plugins.rs:96-191
+    vs /root/reference/src/pipeline/mod.rs:89-212); here they fire and
+    may rewrite the frame."""
+    from etl_rs_spark.plugins import PluginRegistry
+
+    calls = []
+    reg = PluginRegistry()
+    reg.register_before("extract", lambda ctx, df: calls.append("be") or None)
+    reg.register_after(
+        "extract", lambda ctx, df: calls.append("ae") or df.limit(3)
+    )
+    reg.register_before("load", lambda ctx, df: calls.append("bl") or None)
+    reg.register_after("load", lambda ctx, df: calls.append("al") or None)
+
+    sink = sinks.MemorySink()
+    p = (
+        Pipeline.builder()
+        .extract(sources.CsvSource(users_csv))
+        .load(sink)
+        .plugins(reg)
+        .build()
+    )
+    res = p.execute(spark)
+    assert calls == ["be", "ae", "bl", "al"]
+    assert res.rows_processed == 3  # after_extract rewrote to limit(3)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        reg.register_before("nope", lambda c, d: None)
