@@ -1,11 +1,27 @@
-"""The batch-apply core: normalize -> LWW dedup -> MERGE.
+"""The batch-apply core: prescan -> normalize -> LWW dedup -> MERGE.
 
 This is the pure function at the center of the engine — the Spark
 rendition of the reference's extract->transform->load pipeline body
 (/root/reference/src/pipeline/mod.rs:89-212), shaped so it is equally
 callable from a batch job and from Structured Streaming's foreachBatch.
 Everything is declarative DataFrame work; the only driver-side data are
-the affected bucket ids and the commit metadata.
+the prescan's O(num_buckets) stats rows and the commit metadata.
+
+Per-microbatch execution shape (the scaling-efficiency budget):
+
+1. **prescan job** — one cheap aggregation over the raw envelope
+   (payload-key union + per-bucket counts + LSN range, see
+   cdc/normalize.prescan_batch). Reads the batch once, no from_json,
+   no dedup shuffle; collects at most num_buckets rows.
+2. **write job** — the only full pass: from_json parse -> LWW dedup
+   (map-side-combined max(struct)) -> union with the touched buckets'
+   current rows -> LWW merge agg -> skew-aware bucketed write.
+3. driver bookkeeping — threaded footer reads, one manifest JSON, and
+   a driver-side (pyarrow) lineage append. No further Spark jobs.
+
+Round 1 ran two extra full recomputations per batch (a separate key
+discovery scan and a bucket-stats pass that re-ran the dedup); those are
+what held N->4N scaling efficiency at 0.659.
 """
 
 from __future__ import annotations
@@ -15,8 +31,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
-from etl_rs_spark.cdc.lineage import bucket_lineage, write_lineage
-from etl_rs_spark.cdc.normalize import coerce_columns, normalize_events
+from etl_rs_spark.cdc.lineage import write_lineage
+from etl_rs_spark.cdc.normalize import coerce_columns, normalize_events, prescan_batch
 from etl_rs_spark.config import CdcConfig
 from etl_rs_spark.operators.dedup import lww_dedup
 from etl_rs_spark.sinks.lake import LakeTable, bucket_expr
@@ -41,10 +57,37 @@ def apply_batch(
     t0 = time.monotonic()
     cfg = cfg or CdcConfig()
 
+    # exactly-once fast path: an already-committed (run_id, batch_id)
+    # is skipped before any job is launched.
+    snap = table.current()
+    if snap.applied.get(run_id, -1) >= batch_id:
+        return {
+            "version": snap.version,
+            "skipped": True,
+            "reason": f"batch {batch_id} already applied for {run_id}",
+            "batch_id": batch_id,
+            "run_id": run_id,
+            "apply_wall_ms": int((time.monotonic() - t0) * 1000),
+        }
+
+    # one cheap pass: payload keys + per-bucket counts + lsn range
+    pre = prescan_batch(
+        envelope, bucket_expr(snap.bucket_col, snap.num_buckets)
+    )
+    if pre.n_events == 0:
+        return {
+            "version": snap.version,
+            "skipped": True,
+            "reason": "empty batch",
+            "batch_id": batch_id,
+            "run_id": run_id,
+            "apply_wall_ms": int((time.monotonic() - t0) * 1000),
+        }
+
     # parse + type the envelope, but defer the pandas-UDF dirty-value
     # coercion until after dedup: the UDF then processes one row per key
     # (the winners) instead of every duplicate event.
-    events = normalize_events(envelope, coerce_spec, coerce=False)
+    events = normalize_events(envelope, coerce_spec, coerce=False, keys=pre.keys)
     winners = lww_dedup(
         events,
         keys=list(cfg.merge_keys),
@@ -53,18 +96,23 @@ def apply_batch(
     )
     winners = coerce_columns(winners, coerce_spec)
 
-    stats = table.merge(winners, run_id=run_id, batch_id=batch_id)
+    stats = table.merge(
+        winners,
+        run_id=run_id,
+        batch_id=batch_id,
+        batch_stats={"bucket_counts": pre.bucket_counts, "hi_lsn": pre.hi_lsn},
+    )
     stats["batch_id"] = batch_id
     stats["run_id"] = run_id
+    stats["n_events"] = pre.n_events
     wall_ms = int((time.monotonic() - t0) * 1000)
     stats["apply_wall_ms"] = wall_ms
 
     if lineage_dir is not None and not stats.get("skipped"):
-        snap = table.current()
-        b = bucket_expr(snap.bucket_col, snap.num_buckets)
         write_lineage(
             lineage_dir,
-            bucket_lineage(events, winners, b),
+            pre.per_bucket,
+            stats.get("rows_per_bucket", {}),
             run_id=run_id,
             batch_id=batch_id,
             table_version=stats["version"],

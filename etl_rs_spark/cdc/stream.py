@@ -95,11 +95,18 @@ class StreamDriver:
 
     def run_available_now(self, timeout_s: int | None = None) -> list[dict[str, Any]]:
         """Drain all currently-available files, block until done, return
-        per-batch stats."""
+        per-batch stats. Raises TimeoutError if timeout_s elapses before
+        the drain completes — a partial drain must not masquerade as a
+        full one."""
         q = self.start(processing_time=None)
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
         if q.isActive:
             q.stop()
         if q.exception() is not None:
             raise q.exception()
+        if timeout_s is not None and not finished:
+            raise TimeoutError(
+                f"stream did not drain within {timeout_s}s; "
+                f"{len(self.batch_stats)} batches applied before stop"
+            )
         return self.batch_stats

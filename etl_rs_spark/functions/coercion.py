@@ -56,7 +56,9 @@ def int_flex(col: Column | str) -> Column:
     s = F.trim(_c(col).cast("string"))
     as_long = s.try_cast("long")
     as_dbl = s.try_cast("double")
-    return F.coalesce(as_long, as_dbl.cast("long"))
+    # try_cast on the double too: ANSI mode (Spark 4 default) raises
+    # CAST_OVERFLOW on "1e300"/"nan" under a plain cast.
+    return F.coalesce(as_long, as_dbl.try_cast("long"))
 
 
 def float_flex(col: Column | str) -> Column:

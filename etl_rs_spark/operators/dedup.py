@@ -143,6 +143,16 @@ def minhash_lsh_pairs(
     proportional to candidates, never O(n^2). Estimated Jaccard =
     fraction of matching signature positions.
 
+    Shuffle discipline: the band explode and the candidate self-join
+    carry ONLY (id, band, bhash) — 3 slim columns — and the id-pairs are
+    deduplicated before the full signatures are joined back (once per
+    side) for the Jaccard estimate. The two signature join-backs
+    canonicalize to the same exchange, so ReuseExchange computes the
+    signature subplan once; round 1 instead dragged the 64-long
+    signature through every exploded band row and both sides of the
+    candidate dedup (~16x signature bytes through the shuffle — the
+    single most expensive query at sf0.1).
+
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
     """
     rows = num_hashes // bands
@@ -152,7 +162,6 @@ def minhash_lsh_pairs(
     )
     banded = sig.select(
         "__id",
-        "__sig",
         F.explode(
             F.array(
                 *[
@@ -166,20 +175,26 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("__b"),
-    ).select("__id", "__sig", "__b.band", "__b.bhash")
+    ).select("__id", "__b.band", "__b.bhash")
 
     left = banded.select(
-        F.col("band"), F.col("bhash"),
-        F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
+        F.col("band"), F.col("bhash"), F.col("__id").alias("id_a")
     )
     right = banded.select(
-        F.col("band"), F.col("bhash"),
-        F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"),
+        F.col("band"), F.col("bhash"), F.col("__id").alias("id_b")
     )
     cand = (
         left.join(right, ["band", "bhash"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    with_sigs = cand.join(
+        sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a")),
+        "id_a",
+    ).join(
+        sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b")),
+        "id_b",
     )
     est = F.size(
         F.filter(
@@ -188,7 +203,7 @@ def minhash_lsh_pairs(
         )
     ) / F.lit(float(num_hashes))
     return (
-        cand.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        with_sigs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
 

@@ -62,7 +62,10 @@ def replay(
         ev = pd.concat([b, ev], ignore_index=True)
 
     ev = ev.sort_values(ORDER, kind="mergesort")
-    winners = ev.groupby(KEY, as_index=False, sort=False).last()
+    # keep the last whole ROW per key — groupby(...).last() would take
+    # the last NON-NULL value per column, stitching fields from different
+    # events of the same key (wrong under schema evolution + out-of-order).
+    winners = ev.drop_duplicates(subset=KEY, keep="last")
     state = winners[winners["op"] != "D"].drop(columns=["op"])
 
     for col, fn in (coercions or DEFAULT_COERCIONS).items():

@@ -71,6 +71,18 @@ def _footer_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _footer_rows_many(paths: list[str]) -> dict[str, int]:
+    """Footer row counts for many files, read concurrently — keeps the
+    per-commit driver bookkeeping O(1) wall-clock in the file count
+    instead of a serial per-file loop."""
+    if not paths:
+        return {}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+        return dict(zip(paths, ex.map(_footer_rows, paths)))
+
+
 def _with_meta_cols(schema: T.StructType) -> T.StructType:
     """User schema + hidden (_lsn, _deleted) — fresh object, no mutation."""
     return T.StructType(
@@ -272,10 +284,12 @@ class LakeTable:
         else:
             shuffled = df.repartition(wp, F.col(_BUCKET))
         shuffled.write.partitionBy(_BUCKET).mode("overwrite").parquet(commit_dir)
+        paths = glob.glob(os.path.join(commit_dir, f"{_BUCKET}=*", "*.parquet"))
+        rows = _footer_rows_many(paths)
         out = []
-        for p in glob.glob(os.path.join(commit_dir, f"{_BUCKET}=*", "*.parquet")):
+        for p in paths:
             b = int(p.split(f"{_BUCKET}=")[1].split(os.sep)[0])
-            out.append({"path": p, "bucket": b, "rows": _footer_rows(p)})
+            out.append({"path": p, "bucket": b, "rows": rows[p]})
         return out
 
     def _with_bucket(self, df: DataFrame, snap: Snapshot) -> DataFrame:
@@ -411,6 +425,7 @@ class LakeTable:
         op_col: str = _OP,
         lsn_col: str = "lsn",
         write_partitions: int | None = None,
+        batch_stats: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         """Key-partitioned LWW MERGE (the real version of the reference's
         stubbed write_merge, /root/reference/src/load/delta.rs:255-267).
@@ -422,6 +437,15 @@ class LakeTable:
           incoming (ts,lsn) <= stored           : no-op (idempotent replay)
         New payload columns widen the schema in place (additive
         evolution); deletes resurrect if a later-LSN insert follows.
+
+        ``batch_stats`` (optional): precomputed per-bucket source stats,
+        ``{"bucket_counts": {bucket: n_rows}, "hi_lsn": int}`` — e.g.
+        from cdc.normalize.prescan_batch, whose single job over the raw
+        envelope already knows them. When given, the merge skips its own
+        stats aggregation, so the whole apply makes exactly one full
+        pass over the batch (the write job). Counts may be upstream
+        *event* counts rather than winner counts — they only steer the
+        skew-aware write plan, where an overestimate is safe.
         """
         t0 = time.monotonic()
         snap = self.current()
@@ -452,26 +476,29 @@ class LakeTable:
         schema_json = json.dumps(schema.jsonValue())
         types = {f.name: f.dataType for f in schema.fields}
 
-        # -- per-bucket winner counts + max lsn in one tiny aggregation
-        # (at most num_buckets result rows). This pass recomputes the
-        # dedup, but Catalyst prunes it down to the (bucket, lsn)
-        # columns — deliberately NOT cached: materializing the winners
-        # into the block cache costs more than the pruned recompute, and
-        # the write job below is the only full pass. The counts feed the
-        # skew-aware write plan.
+        # -- per-bucket source counts + max lsn: taken from the caller's
+        # prescan when provided (the CDC apply path — zero extra jobs
+        # here), else computed in one tiny aggregation (at most
+        # num_buckets result rows; Catalyst prunes the recompute down to
+        # the (bucket, lsn) columns). The counts feed the skew-aware
+        # write plan; the bucket set drives partition pruning.
         debug = os.environ.get("ETL_DEBUG_MERGE")
-        t_stats = time.monotonic()
         src = self._with_bucket(winners, snap)
-        stats_rows = (
-            src.groupBy(_BUCKET)
-            .agg(F.count("*").alias("n"), F.max(F.col(lsn_col)).alias("hi"))
-            .collect()
-        )
-        if debug:
-            print(f"[merge] bucket/lsn stats: {time.monotonic()-t_stats:.1f}s")
-        incoming_counts = {r[_BUCKET]: r["n"] for r in stats_rows}
+        if batch_stats is not None:
+            incoming_counts = dict(batch_stats["bucket_counts"])
+            hi_lsn = batch_stats.get("hi_lsn")
+        else:
+            t_stats = time.monotonic()
+            stats_rows = (
+                src.groupBy(_BUCKET)
+                .agg(F.count("*").alias("n"), F.max(F.col(lsn_col)).alias("hi"))
+                .collect()
+            )
+            if debug:
+                print(f"[merge] bucket/lsn stats: {time.monotonic()-t_stats:.1f}s")
+            incoming_counts = {r[_BUCKET]: r["n"] for r in stats_rows}
+            hi_lsn = max((r["hi"] for r in stats_rows), default=None)
         affected = sorted(incoming_counts)
-        hi_lsn = max((r["hi"] for r in stats_rows), default=None)
         if not affected:
             return {"version": snap.version, "skipped": True, "reason": "empty batch"}
 
@@ -563,11 +590,15 @@ class LakeTable:
             props=dict(snap.props),
         )
         self._commit(new_snap)
+        rows_per_bucket: dict[int, int] = {}
+        for f in new_files:
+            rows_per_bucket[f["bucket"]] = rows_per_bucket.get(f["bucket"], 0) + f["rows"]
         return {
             "version": new_snap.version,
             "skipped": False,
             "buckets_touched": affected,
             "files_written": len(new_files),
+            "rows_per_bucket": rows_per_bucket,  # post-merge state rows (footers)
             "schema_widened": [f.name for f in new_fields],
             "watermark_lsn": new_snap.watermark_lsn,
             "wall_ms": int((time.monotonic() - t0) * 1000),
