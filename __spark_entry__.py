@@ -278,8 +278,9 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language-ID distribution (rows-only: the stopword
-    argmax is engine-defined)."""
+    """Heuristic language-ID distribution. Oracle-checked: the stopword
+    argmax (ties broken by max lang string) is mirrored exactly in
+    DuckDB SQL."""
     from etl_rs_spark.functions.text import lang_id
 
     d = _t(spark, sf_dir, "documents")
@@ -289,8 +290,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score distribution (rows-only: weights are
-    engine-defined)."""
+    """Composite quality score distribution. Oracle-checked: the
+    weighted score formula is mirrored term-by-term in DuckDB SQL."""
     from etl_rs_spark.functions.text import quality_score
 
     d = _t(spark, sf_dir, "documents")
@@ -467,9 +468,61 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
-        # minhash_pairs / simhash_fingerprints / lang_id / quality_scores:
-        # intentionally no oracle (engine-defined hash families and
-        # weights) -> driver records rows-only checks; correctness is
-        # covered by planted-duplicate tests in tests/test_dedup_fuzzy.py
-        # and tests/test_text_ann_multimodal.py.
+        "lang_id": """
+            WITH toks AS (
+                SELECT text,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                FROM documents
+            ), hits AS (
+                SELECT text,
+                    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS h_en,
+                    len(list_filter(w, x -> x IN ('de','a','o','que','e','do','da','em','um','para'))) AS h_pt,
+                    len(list_filter(w, x -> x IN ('de','la','que','el','en','y','a','los','se','del'))) AS h_es,
+                    len(list_filter(w, x -> x IN ('der','die','und','in','den','von','zu','das','mit','sich'))) AS h_de
+                FROM toks
+            ), pred AS (
+                -- argmax by (hits, lang); ties keep the MAX lang string
+                -- ('pt' > 'es' > 'en' > 'de'), matching Spark's
+                -- array_max over struct(hits, lang)
+                SELECT CASE
+                    WHEN length(trim(text)) = 0 THEN NULL
+                    WHEN greatest(h_en, h_pt, h_es, h_de) = 0 THEN 'und'
+                    WHEN h_pt = greatest(h_en, h_pt, h_es, h_de) THEN 'pt'
+                    WHEN h_es = greatest(h_en, h_pt, h_es, h_de) THEN 'es'
+                    WHEN h_en = greatest(h_en, h_pt, h_es, h_de) THEN 'en'
+                    ELSE 'de' END AS pred_lang
+                FROM hits
+            )
+            SELECT pred_lang, count(*) AS n_docs FROM pred GROUP BY pred_lang
+        """,
+        "quality_scores": """
+            WITH feats AS (
+                SELECT text,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS stop_hits,
+                       length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+                       length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS n_punct,
+                       length(text) AS n_chars
+                FROM documents
+            ), scored AS (
+                SELECT round(
+                    0.25 * least(n_chars / 500.0, 1.0)
+                  + 0.35 * least(coalesce(CASE WHEN n_tok > 0 THEN stop_hits::DOUBLE / n_tok END, 0.0) / 0.12, 1.0)
+                  + 0.2  * (CASE WHEN coalesce(CASE WHEN n_tok > 0 THEN n_nonspace::DOUBLE / n_tok END, 0.0)
+                                      BETWEEN 3 AND 10 THEN 1.0 ELSE 0.4 END)
+                  + 0.2  * (CASE WHEN coalesce(CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars END, 1.0) < 0.2
+                                 THEN 1.0
+                                 ELSE greatest(0.0, 1 - coalesce(CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars END, 1.0)) END)
+                , 6) AS score
+                FROM feats
+            )
+            SELECT floor(score * 10) / 10 AS q_bucket, count(*) AS n_docs
+            FROM scored GROUP BY 1
+        """,
+        # minhash_pairs / simhash_fingerprints: intentionally no oracle
+        # (engine-defined xxhash64-based hash families DuckDB cannot
+        # reproduce) -> driver records rows-only checks; correctness is
+        # covered by planted-duplicate recovery tests in
+        # tests/test_dedup_fuzzy.py.
     }

@@ -80,14 +80,35 @@ def run_cdc_bench(
 
         # num_buckets is a TABLE property — identical at every
         # parallelism level so the N-vs-4N comparison runs the same job.
-        table = LakeTable.create(
-            spark,
-            os.path.join(work, "table"),
+        ddl = (
             "conv_id string, turn_idx int, role string, text string, "
-            "tool string, ts timestamp",
-            num_buckets=32,
+            "tool string, ts timestamp"
+        )
+        table = LakeTable.create(
+            spark, os.path.join(work, "table"), ddl, num_buckets=32
         )
         cfg = CdcConfig()
+
+        # Untimed warmup: apply a small slice to a THROWAWAY table first.
+        # A fresh JVM's first batch pays ~10-15s of one-time init (JIT of
+        # Spark internals, parquet reader classes, python/Arrow workers)
+        # that a long-running stream amortizes to zero; sustained
+        # throughput — the north metric — is the steady state. The
+        # measured table still sees every event.
+        warm = int(os.environ.get("SPARK_GRAFT_CDC_WARMUP", "200000"))
+        if warm > 0:
+            wtab = LakeTable.create(
+                spark, os.path.join(work, "warmtable"), ddl, num_buckets=32
+            )
+            apply_batch(
+                wtab,
+                envelope.where(F.col("lsn") < warm),
+                batch_id=0,
+                run_id="warmup",
+                cfg=cfg,
+            )
+            shutil.rmtree(os.path.join(work, "warmtable"), ignore_errors=True)
+
         per = (n_events + batches - 1) // batches
         t0 = time.monotonic()
         for i in range(batches):

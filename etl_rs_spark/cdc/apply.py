@@ -32,9 +32,14 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from etl_rs_spark.cdc.lineage import write_lineage
-from etl_rs_spark.cdc.normalize import coerce_columns, normalize_events, prescan_batch
+from etl_rs_spark.cdc.normalize import (
+    coerce_columns,
+    discover_payload_keys,
+    normalize_events,
+    prescan_batch,
+)
 from etl_rs_spark.config import CdcConfig
-from etl_rs_spark.operators.dedup import lww_dedup
+from etl_rs_spark.operators.dedup import lww_dedup, lww_dedup_narrow
 from etl_rs_spark.sinks.lake import LakeTable, bucket_expr
 
 
@@ -70,10 +75,18 @@ def apply_batch(
             "apply_wall_ms": int((time.monotonic() - t0) * 1000),
         }
 
-    # one cheap pass: payload keys + per-bucket counts + lsn range
+    # one cheap pass over the typed envelope columns only (conv_id,
+    # lsn — no JSON): per-bucket counts + lsn range for the merge's
+    # partition pruning, skew plan and lineage.
+    import os as _os
+
+    debug = _os.environ.get("ETL_DEBUG_MERGE")
+    t_pre = time.monotonic()
     pre = prescan_batch(
-        envelope, bucket_expr(snap.bucket_col, snap.num_buckets)
+        envelope, bucket_expr(snap.bucket_col, snap.num_buckets), with_keys=False
     )
+    if debug:
+        print(f"[apply] prescan: {time.monotonic()-t_pre:.1f}s")
     if pre.n_events == 0:
         return {
             "version": snap.version,
@@ -84,24 +97,44 @@ def apply_batch(
             "apply_wall_ms": int((time.monotonic() - t0) * 1000),
         }
 
-    # parse + type the envelope, but defer the pandas-UDF dirty-value
-    # coercion until after dedup: the UDF then processes one row per key
-    # (the winners) instead of every duplicate event.
-    events = normalize_events(envelope, coerce_spec, coerce=False, keys=pre.keys)
-    winners = lww_dedup(
-        events,
+    # LWW-dedup the OPAQUE envelope first: winner selection needs only
+    # the typed key/order columns, so the JSON payload rides the dedup
+    # shuffle as an unparsed string and every payload-parsing step below
+    # (key discovery, from_json, pandas-UDF coercion) runs on one row
+    # per key — typically 10-100x fewer rows than events. The winners
+    # are persisted (they are the batch's smallest representation) so
+    # key discovery and the merge's write job share one dedup run.
+    #
+    # Schema-evolution consequence, by design: a payload key widens the
+    # table when it appears on a WINNING event. A key carried only by
+    # events that lose their batch's LWW race contributes no value to
+    # state and does not widen the schema (it widens later, when a
+    # winner first carries it) — state content is identical either way.
+    dedup = lww_dedup_narrow if cfg.dedup_strategy == "narrow" else lww_dedup
+    raw_winners = dedup(
+        envelope,
         keys=list(cfg.merge_keys),
         order_cols=list(cfg.order_cols),
         salt_buckets=cfg.salt_buckets,
-    )
-    winners = coerce_columns(winners, coerce_spec)
+    ).persist()
+    try:
+        t_k = time.monotonic()
+        keys = discover_payload_keys(raw_winners)
+        if debug:
+            print(f"[apply] dedup+keys: {time.monotonic()-t_k:.1f}s")
+        winners = normalize_events(
+            raw_winners, coerce_spec, coerce=False, keys=keys
+        )
+        winners = coerce_columns(winners, coerce_spec)
 
-    stats = table.merge(
-        winners,
-        run_id=run_id,
-        batch_id=batch_id,
-        batch_stats={"bucket_counts": pre.bucket_counts, "hi_lsn": pre.hi_lsn},
-    )
+        stats = table.merge(
+            winners,
+            run_id=run_id,
+            batch_id=batch_id,
+            batch_stats={"bucket_counts": pre.bucket_counts, "hi_lsn": pre.hi_lsn},
+        )
+    finally:
+        raw_winners.unpersist()
     stats["batch_id"] = batch_id
     stats["run_id"] = run_id
     stats["n_events"] = pre.n_events

@@ -59,24 +59,31 @@ def prescan_batch(
     bucket: F.Column,
     payload_col: str = "payload",
     lsn_col: str = "lsn",
+    with_keys: bool = True,
 ) -> BatchStats:
-    """One aggregation job over the raw envelope: payload-key union +
-    per-bucket counts + LSN range. collect_set gathers distinct *sorted
-    key-array shapes* (a handful per schema epoch), not per-row data, so
-    the result stays O(buckets x shapes) regardless of batch size."""
-    shapes = F.array_sort(
-        F.json_object_keys(F.coalesce(F.col(payload_col), F.lit("{}")))
-    )
-    rows = (
-        envelope.groupBy(bucket.alias("__b"))
-        .agg(
-            F.count("*").alias("n"),
-            F.min(lsn_col).alias("lo"),
-            F.max(lsn_col).alias("hi"),
-            F.array_distinct(F.flatten(F.collect_set(shapes))).alias("keys"),
+    """One aggregation job over the raw envelope: per-bucket counts +
+    LSN range, plus (with_keys) the payload-key union. collect_set
+    gathers distinct *sorted key-array shapes* (a handful per schema
+    epoch), not per-row data, so the result stays O(buckets x shapes)
+    regardless of batch size.
+
+    with_keys=False keeps the prescan to the typed envelope columns
+    (conv_id for the bucket, lsn) — the scan never touches the payload
+    bytes' JSON structure, which makes it ~5x cheaper; the CDC apply
+    path uses this and discovers keys post-dedup on the winners."""
+    aggs = [
+        F.count("*").alias("n"),
+        F.min(lsn_col).alias("lo"),
+        F.max(lsn_col).alias("hi"),
+    ]
+    if with_keys:
+        shapes = F.array_sort(
+            F.json_object_keys(F.coalesce(F.col(payload_col), F.lit("{}")))
         )
-        .collect()
-    )
+        aggs.append(
+            F.array_distinct(F.flatten(F.collect_set(shapes))).alias("keys")
+        )
+    rows = envelope.groupBy(bucket.alias("__b")).agg(*aggs).collect()
     stats = BatchStats()
     keyset: set[str] = set()
     for r in rows:
@@ -86,7 +93,8 @@ def prescan_batch(
             "max_lsn": r["hi"],
         }
         stats.n_events += r["n"]
-        keyset.update(r["keys"])
+        if with_keys:
+            keyset.update(r["keys"])
         if r["hi"] is not None:
             stats.hi_lsn = r["hi"] if stats.hi_lsn is None else max(stats.hi_lsn, r["hi"])
         if r["lo"] is not None:

@@ -28,6 +28,7 @@ from pyspark.sql.streaming import StreamingQuery
 from etl_rs_spark.config import CdcConfig
 from etl_rs_spark.cdc.apply import apply_batch
 from etl_rs_spark.generator import ENVELOPE_SCHEMA
+from etl_rs_spark.retry import RetryConfig, with_retry
 from etl_rs_spark.sinks.lake import LakeTable
 
 
@@ -43,6 +44,7 @@ class StreamDriver:
         max_files_per_trigger: int | None = None,
         coerce_spec: dict[str, str] | None = None,
         lineage_dir: str | None = None,
+        retry: RetryConfig | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -53,20 +55,28 @@ class StreamDriver:
         self.max_files_per_trigger = max_files_per_trigger
         self.coerce_spec = coerce_spec
         self.lineage_dir = lineage_dir
+        self.retry = retry or RetryConfig()
         # run identity = the checkpoint: replays within one checkpoint
         # lineage share it, so the table's commit log can skip them.
         self.run_id = os.path.abspath(checkpoint_dir)
         self.batch_stats: list[dict[str, Any]] = []
 
     def _foreach_batch(self, batch_df, batch_id: int) -> None:
-        stats = apply_batch(
-            self.table,
-            batch_df,
-            batch_id=batch_id,
-            run_id=self.run_id,
-            cfg=self.cfg,
-            coerce_spec=self.coerce_spec,
-            lineage_dir=self.lineage_dir,
+        # retry recoverable failures with backoff (reference RetryConfig,
+        # /root/reference/src/traits.rs:186-201, wired for real): safe
+        # because apply_batch is idempotent — a partial merge never
+        # commits (snapshot swing is atomic), so a retry re-runs cleanly.
+        stats = with_retry(
+            lambda: apply_batch(
+                self.table,
+                batch_df,
+                batch_id=batch_id,
+                run_id=self.run_id,
+                cfg=self.cfg,
+                coerce_spec=self.coerce_spec,
+                lineage_dir=self.lineage_dir,
+            ),
+            self.retry,
         )
         self.batch_stats.append(stats)
 

@@ -26,6 +26,8 @@ class PipelineConfig:
     timeout_seconds: int = 300
     retry_attempts: int = 3
     retry_delay_ms: int = 1000
+    retry_backoff_multiplier: float = 2.0  # RetryConfig.backoff_multiplier
+    # (/root/reference/src/traits.rs:186-201)
 
 
 @dataclass(frozen=True)
@@ -45,6 +47,11 @@ class CdcConfig:
     num_buckets: int = 16
     salt_buckets: int = 0  # 0 = single-stage LWW; >0 = two-stage salted
     schema_evolution: bool = True
+    #: "wide" (default) = single max(struct(all cols)) aggregation — one
+    #: shuffle, fastest measured on transcript-sized payloads; "narrow" =
+    #: slim winner-id agg + join-back, for very wide payloads (blobs)
+    #: where shuffling the payload dominates
+    dedup_strategy: str = "wide"
 
 
 @dataclass(frozen=True)
@@ -93,3 +100,52 @@ class EngineConfig:
         if updates:
             pipe = replace(pipe, **updates)
         return replace(cfg, pipeline=pipe).validate()
+
+    @classmethod
+    def from_toml(cls, toml_str: str) -> "EngineConfig":
+        """Config from a TOML string — reference ETLConfig::from_toml
+        (/root/reference/src/config.rs:186-192). Section/field names
+        mirror the reference's [pipeline] / [performance] tables, plus
+        the Spark-native [cdc] section; unknown keys are ignored (the
+        reference's serde deserializer is equally permissive about
+        extra sections like [features])."""
+        import tomllib
+
+        try:
+            doc = tomllib.loads(toml_str)
+        except tomllib.TOMLDecodeError as exc:
+            raise ConfigError(f"invalid TOML: {exc}") from exc
+        cfg = cls()
+
+        def _section(obj, data):
+            known = {f for f in obj.__dataclass_fields__}
+            updates = {}
+            for k, v in (data or {}).items():
+                if k in known:
+                    tgt = type(getattr(obj, k))
+                    try:
+                        updates[k] = (
+                            tuple(v) if tgt is tuple else tgt(v)
+                        )
+                    except (TypeError, ValueError) as exc:
+                        raise ConfigError(
+                            f"invalid value for {k}: {v!r}"
+                        ) from exc
+            return replace(obj, **updates) if updates else obj
+
+        return replace(
+            cfg,
+            pipeline=_section(cfg.pipeline, doc.get("pipeline")),
+            performance=_section(cfg.performance, doc.get("performance")),
+            cdc=_section(cfg.cdc, doc.get("cdc")),
+        ).validate()
+
+    @classmethod
+    def from_file(cls, path: str) -> "EngineConfig":
+        """Config from a TOML file — reference ETLConfig::from_file
+        (/root/reference/src/config.rs:177-184)."""
+        try:
+            with open(path) as f:
+                return cls.from_toml(f.read())
+        except OSError as exc:
+            raise ConfigError(f"cannot read config file {path}: {exc}") from exc

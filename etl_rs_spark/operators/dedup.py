@@ -72,6 +72,41 @@ def lww_dedup(
     return _pick_winner(df, keys, order_cols)
 
 
+def lww_dedup_narrow(
+    df: DataFrame,
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    order_cols: Sequence[str] = ("ts", "lsn"),
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """LWW dedup that never shuffles the wide payload.
+
+    Identical result to ``lww_dedup``, different physical plan for wide
+    rows: (1) aggregate only the slim (keys, order_cols) projection to
+    find each key's winning order tuple — a ~30-byte-per-row shuffle
+    instead of the full payload, and the parquet scan is column-pruned
+    to those columns; (2) join the winner identities back against a
+    second scan of the input — AQE broadcast-joins the (small) winner
+    side at runtime, so the payload bytes stream map-side only and are
+    never serialized into an exchange; (3) a final deterministic
+    ``_pick_winner`` over the joined rows (tiny) collapses exact
+    duplicate events that share the full (key, order) tuple.
+
+    Why it matters at scale: for transcript-sized payloads the classic
+    max(struct(everything)) agg moves ~50x more shuffle bytes than the
+    decision needs, and map-side combine barely reduces a stream whose
+    keys are spread across all input partitions. Shuffle bandwidth is
+    the shared resource that caps N->4N scaling; this variant trades one
+    extra (cheap, pruned, page-cached) scan for removing almost all of
+    it. If the winner set is too large to broadcast, AQE falls back to a
+    shuffle join of winner-identity tuples — still narrow."""
+    keys = list(keys)
+    order_cols = list(order_cols)
+    slim = df.select(*keys, *order_cols)
+    winner_ids = lww_dedup(slim, keys, order_cols, salt_buckets)
+    joined = df.join(winner_ids, on=keys + order_cols, how="inner")
+    return _pick_winner(joined, keys, order_cols)
+
+
 def shingles(col, k: int = 5) -> F.Column:
     """Word k-shingles of a text column -> array<string> (lowercased)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -156,7 +191,12 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
     """
     rows = num_hashes // bands
-    sig = df.select(
+    # CPU-spread: signature hashing is compute-bound, and a small corpus
+    # arrives as one byte-sized scan task — spread it across the cores
+    # (size-gated no-op on large inputs).
+    from etl_rs_spark.plans import spread_for_cpu
+
+    sig = spread_for_cpu(df).select(
         F.col(id_col).alias("__id"),
         minhash_signature(text_col, num_hashes, shingle_k).alias("__sig"),
     )
@@ -277,7 +317,9 @@ def simhash_pairs(
     no O(n^2) compare. Verification = popcount(xor) <= max_hamming.
     """
     width = 64 // bands
-    fp = df.select(
+    from etl_rs_spark.plans import spread_for_cpu
+
+    fp = spread_for_cpu(df).select(
         F.col(id_col).alias("__id"), simhash(text_col).alias("__fp")
     )
     chunks = fp.select(
@@ -323,7 +365,9 @@ def ngram_jaccard_pairs(
     intersections, compute |A∩B| / (|A|+|B|-|A∩B|). The exact
     counterpart to the MinHash estimate — use on bounded corpora or as
     the verification stage after LSH."""
-    grams = df.select(
+    from etl_rs_spark.plans import spread_for_cpu
+
+    grams = spread_for_cpu(df).select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("g"),
     )

@@ -80,10 +80,16 @@ def replay_envelope(
     base: pd.DataFrame | None = None,
     coercions: dict | None = None,
 ) -> pd.DataFrame:
-    """Replay the wire-format stream (payload as JSON string): unpack
-    payloads (union-of-keys, like the reference's schema inference at
-    /root/reference/src/load/parquet.rs:125-138), then LWW-replay."""
+    """Replay the wire-format stream (payload as JSON string): LWW-pick
+    the winning event per key first, then unpack the winners' payloads
+    (union-of-keys, like the reference's schema inference at
+    /root/reference/src/load/parquet.rs:125-138) — matching the engine,
+    whose schema widens with keys that appear on WINNING events (a key
+    carried only by losing events contributes no state and no column)."""
     env = envelope.copy()
+    env = env.sort_values(ORDER, kind="mergesort").drop_duplicates(
+        subset=KEY, keep="last"
+    )
     payloads = [
         json.loads(p) if isinstance(p, str) and p else {}
         for p in env["payload"]

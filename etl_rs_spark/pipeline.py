@@ -30,6 +30,7 @@ from etl_rs_spark.events import (
     PipelineEvent,
     PipelineMetrics,
 )
+from etl_rs_spark.retry import RetryConfig, with_retry
 
 
 @dataclass
@@ -78,22 +79,67 @@ class Pipeline:
         )
         self.state = state
 
+    def _retry_cfg(self) -> RetryConfig:
+        p = self.config.pipeline
+        return RetryConfig(
+            max_attempts=max(p.retry_attempts, 1),
+            delay_ms=p.retry_delay_ms,
+            backoff_multiplier=p.retry_backoff_multiplier,
+        )
+
+    def _on_retry(self, stage: str):
+        def _cb(attempt: int, exc: BaseException, delay: float) -> None:
+            self.emitter.emit(
+                PipelineEvent(
+                    "retrying",
+                    self.pipeline_id,
+                    data={
+                        "stage": stage,
+                        "attempt": attempt,
+                        "error": str(exc),
+                        "next_delay_s": delay,
+                    },
+                )
+            )
+
+        return _cb
+
     def execute(self, spark: SparkSession) -> PipelineResult:
         """(/root/reference/src/pipeline/mod.rs:89-212): extract ->
         transform -> load with state transitions, events, metrics. One
-        Spark action at the load."""
+        Spark action at the load. Recoverable extract/load failures are
+        retried with exponential backoff (retry.with_retry, the
+        reference's never-wired RetryConfig executed for real); the
+        loader's health_check gates the whole run
+        (/root/reference/src/pipeline/mod.rs:106-111) so a dead sink
+        fails fast before any extraction work."""
         t0 = time.monotonic()
         self.emitter.emit(PipelineEvent("started", self.pipeline_id))
+        rcfg = self._retry_cfg()
         try:
+            # -- loader health gate, before any work
+            health = getattr(self.loader, "health_check", None)
+            if health is not None:
+                try:
+                    ok = health()
+                except Exception as exc:
+                    raise LoadError(f"loader health check raised: {exc}") from exc
+                if ok is False:
+                    raise LoadError("loader health check failed")
+
             self._set_state("extracting")
-            try:
-                self._fire("before", "extract")
-                df = self.extractor.extract(spark)
-                df = self._fire("after", "extract", df)
-            except ETLError:
-                raise
-            except Exception as exc:  # classify per reference taxonomy
-                raise ExtractError(str(exc)) from exc
+
+            def _extract():
+                try:
+                    self._fire("before", "extract")
+                    d = self.extractor.extract(spark)
+                    return self._fire("after", "extract", d)
+                except ETLError:
+                    raise
+                except Exception as exc:  # classify per reference taxonomy
+                    raise ExtractError(str(exc)) from exc
+
+            df = with_retry(_extract, rcfg, on_retry=self._on_retry("extract"))
 
             self._set_state("transforming")
             try:
@@ -107,23 +153,21 @@ class Pipeline:
                 raise TransformError(str(exc)) from exc
 
             self._set_state("loading")
-            try:
-                df = self._fire("before", "load", df)
-                df = df.persist()
-                result = self.loader.load(df)
-                self._fire("after", "load", df)
-                rows = result.get("rows_loaded", -1)
-                if rows < 0:
-                    rows = df.count()
-            except ETLError:
-                raise
-            except Exception as exc:
-                raise LoadError(str(exc)) from exc
-            finally:
+            df = self._fire("before", "load", df)
+
+            def _load():
                 try:
-                    df.unpersist()
-                except Exception:
-                    pass
+                    return self.loader.load(df)
+                except ETLError:
+                    raise
+                except Exception as exc:
+                    raise LoadError(str(exc)) from exc
+
+            result = with_retry(_load, rcfg, on_retry=self._on_retry("load"))
+            self._fire("after", "load", df)
+            rows = result.get("rows_loaded", -1)
+            if rows < 0:
+                rows = df.count()
 
             ms = int((time.monotonic() - t0) * 1000)
             self._set_state("completed")

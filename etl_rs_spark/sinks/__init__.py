@@ -13,12 +13,55 @@ import shutil
 from dataclasses import dataclass, field
 from typing import Any, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
 
 
 def _rows_out(n: int) -> dict[str, Any]:
     # reference LoadResult {rows_loaded, ...} (/root/reference/src/traits.rs:57-73)
     return {"rows_loaded": n, "success": True}
+
+
+def _observed(df: DataFrame) -> tuple[DataFrame, Observation]:
+    """Attach a row-count observation so the write action itself reports
+    rows_loaded — no second count() job over the plan."""
+    obs = Observation()
+    return df.observe(obs, F.count(F.lit(1)).alias("rows")), obs
+
+
+def _canonical_temporal(df: DataFrame) -> DataFrame:
+    """Render temporal columns the way the reference's JSON loaders do
+    (/root/reference/src/load/common.rs:16-41, src/load/json.rs:94-103):
+    Date -> %Y-%m-%d, naive DateTime -> '%Y-%m-%d %H:%M:%S',
+    tz-aware Timestamp -> RFC-3339 (+00:00 under the engine's pinned
+    UTC session). Spark's toJSON would otherwise emit its own ISO form."""
+    from pyspark.sql import types as T
+
+    out = {}
+    for f2 in df.schema.fields:
+        c = F.col(f2.name)
+        if isinstance(f2.dataType, T.DateType):
+            out[f2.name] = F.date_format(c, "yyyy-MM-dd")
+        elif isinstance(f2.dataType, T.TimestampNTZType):
+            out[f2.name] = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+        elif isinstance(f2.dataType, T.TimestampType):
+            out[f2.name] = F.concat(
+                F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("+00:00")
+            )
+    return df.withColumns(out) if out else df
+
+
+def _dir_writable(path: str) -> bool:
+    """Health probe: the nearest existing ancestor of path is writable
+    (the reference Loader::health_check contract,
+    /root/reference/src/traits.rs:66 — fail fast on an unreachable sink)."""
+    d = os.path.abspath(path)
+    while d and not os.path.exists(d):
+        parent = os.path.dirname(d)
+        if parent == d:
+            break
+        d = parent
+    return os.path.isdir(d) and os.access(d, os.W_OK)
 
 
 @dataclass
@@ -33,13 +76,16 @@ class JsonSink:
     append: bool = False
 
     def load(self, df: DataFrame) -> dict[str, Any]:
-        rows = [json.loads(r) for r in df.toJSON().collect()]
+        rows = [json.loads(r) for r in _canonical_temporal(df).toJSON().collect()]
         if self.append and os.path.exists(self.path):
             with open(self.path) as f:
                 rows = json.load(f) + rows
         with open(self.path, "w") as f:
             json.dump(rows, f, indent=2 if self.pretty else None)
         return _rows_out(len(rows))
+
+    def health_check(self) -> bool:
+        return _dir_writable(self.path)
 
 
 @dataclass
@@ -52,8 +98,12 @@ class JsonLinesSink:
 
     def load(self, df: DataFrame) -> dict[str, Any]:
         mode = "append" if self.append else "overwrite"
+        df, obs = _observed(_canonical_temporal(df))
         df.write.mode(mode).json(self.path)
-        return _rows_out(-1)  # no count action on the hot path
+        return _rows_out(int(obs.get["rows"]))
+
+    def health_check(self) -> bool:
+        return _dir_writable(self.path)
 
 
 @dataclass
@@ -107,13 +157,17 @@ class ParquetSink:
     partition_by: Sequence[str] = field(default_factory=tuple)
 
     def load(self, df: DataFrame) -> dict[str, Any]:
+        df, obs = _observed(df)
         w = df.write.option("compression", self.compression).mode(
             "overwrite" if self.overwrite else "errorifexists"
         )
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         w.parquet(self.path)
-        return _rows_out(-1)
+        return _rows_out(int(obs.get["rows"]))
+
+    def health_check(self) -> bool:
+        return _dir_writable(self.path)
 
 
 @dataclass

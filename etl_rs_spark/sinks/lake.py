@@ -283,9 +283,16 @@ class LakeTable:
                 shuffled = df.repartition(wp, F.col(_BUCKET))
         else:
             shuffled = df.repartition(wp, F.col(_BUCKET))
+        t_w = time.monotonic()
         shuffled.write.partitionBy(_BUCKET).mode("overwrite").parquet(commit_dir)
+        t_f = time.monotonic()
         paths = glob.glob(os.path.join(commit_dir, f"{_BUCKET}=*", "*.parquet"))
         rows = _footer_rows_many(paths)
+        if os.environ.get("ETL_DEBUG_MERGE"):
+            print(
+                f"[write] job: {t_f-t_w:.1f}s footers({len(paths)}): "
+                f"{time.monotonic()-t_f:.1f}s wp={wp}"
+            )
         out = []
         for p in paths:
             b = int(p.split(f"{_BUCKET}=")[1].split(os.sep)[0])

@@ -81,11 +81,28 @@ class JsonSource:
     array_path: str | None = None
 
     def extract(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import types as T
+
         df = spark.read.option("multiLine", "true").json(self.path)
         if self.array_path:
-            df = df.select(F.explode(F.col(self.array_path)).alias("__e")).select(
-                "__e.*"
-            )
+            df = df.select(F.explode(F.col(self.array_path)).alias("__e"))
+            if isinstance(df.schema["__e"].dataType, T.StructType):
+                return df.select("__e.*")
+            # non-object array elements -> {"value": v} rows, the
+            # reference's wrapping (src/extract/json.rs:113-139)
+            return df.select(F.col("__e").alias("value"))
+        if df.columns == ["_corrupt_record"]:
+            # top-level array of scalars (or a bare scalar document):
+            # Spark's JSON reader has no row shape for it; wrap each
+            # element as {"value": v} like the reference
+            # (src/extract/json.rs:113-139, JSONL :222-230). Debug-scale
+            # fallback — the reference reads the whole doc in memory too.
+            import json as _json
+
+            with open(self.path) as f:
+                doc = _json.load(f)
+            vals = doc if isinstance(doc, list) else [doc]
+            return spark.createDataFrame([{"value": v} for v in vals])
         return df
 
 
@@ -102,7 +119,22 @@ class JsonLinesSource:
         r = spark.read
         if self.schema:
             r = r.schema(self.schema)
-        return r.json(self.path)
+        df = r.json(self.path)
+        if df.columns == ["_corrupt_record"]:
+            # lines of non-object JSON values -> {"value": v} rows,
+            # reference wrapping (src/extract/json.rs:222-230). Driver-
+            # side fallback (debug corner: whole-file scalar lines),
+            # keeps true value types via createDataFrame inference.
+            import json as _json
+
+            with open(self.path) as f:
+                vals = [
+                    _json.loads(line)
+                    for line in f
+                    if line.strip()
+                ]
+            return spark.createDataFrame([{"value": v} for v in vals])
+        return df
 
     def extract_stream(self, spark: SparkSession) -> DataFrame:
         if not self.schema:
