@@ -61,3 +61,58 @@ def spread_for_cpu(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     if size >= n * _max_partition_bytes(spark):
         return df
     return df.repartition(n)
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def explain_formatted(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> str:
+    plan = physical_plan(df)
+    for line in plan.splitlines():
+        if "PushedFilters" in line:
+            return line.split("PushedFilters:")[1].split("]")[0] + "]"
+    return ""
+
+
+def read_schema(df: DataFrame) -> str:
+    plan = physical_plan(df)
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            return line.split("ReadSchema:")[1].strip().rstrip(",")
+    return ""
+
+
+def assert_filter_pushed(df: DataFrame, fragment: str) -> None:
+    got = pushed_filters(df)
+    assert fragment in got, f"filter {fragment!r} not pushed; got {got!r}"
+
+
+def assert_column_pruned(df: DataFrame, column: str) -> None:
+    got = read_schema(df)
+    assert got, "no ReadSchema found in plan"
+    assert column not in got, f"column {column!r} not pruned from scan: {got}"
+
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, "expected a broadcast hash join"
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen stages: operators prefixed `*(N)` in
+    the plan string share one generated function per N."""
+    import re
+
+    ids = set(re.findall(r"\*\((\d+)\)", physical_plan(df)))
+    return len(ids)
+
+
+def has_partial_aggregation(df: DataFrame) -> bool:
+    """True when the plan computes a map-side partial aggregate before
+    the exchange (partial_max/partial_count/... markers)."""
+    return "partial_" in physical_plan(df)
