@@ -277,6 +277,28 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", simhash("text").alias("fp"))
 
 
+def q_minhash_exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH planted-duplicate recovery, oracle-checked: union the
+    corpus with a perturbed copy of itself (uppercased, whitespace
+    padding — raw text differs, normalized shingles identical), then run
+    the full LSH pipeline at threshold 1.0. Identical shingle sets give
+    identical 64-hash signatures, so the emitted pairs are exactly the
+    normalized-text-equal ones — which IS SQL-expressible, putting the
+    whole pipeline (shingle -> signature -> banding -> bucket join ->
+    estimate) under the DuckDB value-hash oracle. Fuzzy thresholds stay
+    covered by tests/test_dedup_fuzzy.py."""
+    from etl_rs_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" ")).alias("text"),
+    )
+    return minhash_lsh_pairs(d.unionByName(copies), threshold=1.0).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID distribution. Oracle-checked: the stopword
     argmax (ties broken by max lang string) is mirrored exactly in
@@ -323,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "window_tumbling": q_window_tumbling,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_exact_dup_pairs": q_minhash_exact_dup_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
@@ -520,9 +543,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT floor(score * 10) / 10 AS q_bucket, count(*) AS n_docs
             FROM scored GROUP BY 1
         """,
+        # minhash_lsh_pairs at threshold 1.0 emits exactly the pairs
+        # with identical signatures == equal normalized texts (the only
+        # way all 64 mins agree on this corpus). The query plants a
+        # perturbed copy of each doc (doc_id+1000000, uppercased +
+        # whitespace-padded), so the expected pairs are SQL-derivable
+        # from the text column alone.
+        "minhash_exact_dup_pairs": """
+            WITH both_sets AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id,
+                       '  ' || upper(text) || ' ' AS text
+                FROM documents
+            ), norm AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL THEN NULL
+                            ELSE lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                       END AS t
+                FROM both_sets
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(1.0 AS DOUBLE) AS est_jaccard
+            FROM norm a JOIN norm b
+              -- chr(1) sentinel keeps this an equi (hash) join while
+              -- matching NULL texts to each other, as the engine's
+              -- signature of a NULL text does
+              ON coalesce(a.t, chr(1)) = coalesce(b.t, chr(1))
+             AND a.doc_id < b.doc_id
+        """,
         # minhash_pairs / simhash_fingerprints: intentionally no oracle
         # (engine-defined xxhash64-based hash families DuckDB cannot
         # reproduce) -> driver records rows-only checks; correctness is
         # covered by planted-duplicate recovery tests in
-        # tests/test_dedup_fuzzy.py.
+        # tests/test_dedup_fuzzy.py and, for the full LSH pipeline, by
+        # the oracle-checked minhash_exact_dup_pairs companion above.
     }

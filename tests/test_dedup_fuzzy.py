@@ -109,3 +109,51 @@ def test_exact_dedup_deterministic_keeper(spark):
     kept = exact_dedup(df, on=["text"], keep_order=["id"])
     got = {r["text"]: r["id"] for r in kept.collect()}
     assert got == {"x": 1, "y": 2}  # min id kept, deterministic
+
+
+def test_ngram_hot_gram_cap(spark):
+    """max_doc_freq drops stop-phrase grams BEFORE the postings
+    self-join (the quadratic-candidate guard at corpus scale), while
+    pairs whose distinctive grams survive the cap are still found."""
+    hot = "the end of the day "  # shared boilerplate in every doc
+    rows = [(i, hot + f"unique tail content number {i} " * 3) for i in range(20)]
+    rows += [(100, hot + "identical distinctive body text here " * 3),
+             (101, hot + "identical distinctive body text here " * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.8, max_doc_freq=5)
+    assert pair_set(capped) == {(100, 101)}
+
+    # uncapped, boilerplate-only co-occurrence stays sub-threshold too,
+    # but produces a quadratic candidate set internally; the capped
+    # variant must agree on the surviving high-similarity pair.
+    exact = ngram_jaccard_pairs(df, n=3, threshold=0.8)
+    assert (100, 101) in pair_set(exact)
+
+
+def test_embedding_multitable_lsh_recall(spark):
+    """Multi-table hyperplane LSH (OR over tables): planted near-dups at
+    cosine ~0.99 are recovered with recall >= 0.9 at threshold 0.95 —
+    the single-table round-1 variant had a recall cliff here."""
+    import random
+
+    random.seed(11)
+    rows = []
+    expect = set()
+    for i in range(30):
+        base = [random.gauss(0, 1) for _ in range(32)]
+        near = [x + random.gauss(0, 0.02) for x in base]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, near))
+        expect.add((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = pair_set(
+        embedding_neardup_pairs(df, threshold=0.95, planes=12, tables=4)
+    )
+    planted_found = {p for p in expect if p in got}
+    assert len(planted_found) >= 0.9 * len(expect)
+    # precision is exact by construction: every emitted pair passed the
+    # true cosine filter
+    exact = pair_set(embedding_neardup_pairs(df, threshold=0.95, exact=True))
+    assert got <= exact

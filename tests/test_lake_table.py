@@ -153,3 +153,45 @@ def test_compact_drops_old_tombstones(spark, tmp_path):
     t.compact(tombstone_lsn_horizon=2)
     assert t.read(include_meta=True).where("_deleted").count() == 0
     assert t.read().count() == 1  # c2 only
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """as-of-timestamp resolves to the latest snapshot committed at or
+    before the instant (ref with_timestamp, src/extract/delta.rs:104-109
+    — stored there, resolved here)."""
+    import time as _time
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=4)
+    t.append(_df(spark, 10))
+    ts_v1 = t.current().committed_at_ms
+    assert ts_v1 > 0
+    _time.sleep(0.01)
+    t.append(_df(spark, 5))
+    ts_v2 = t.current().committed_at_ms
+    assert ts_v2 > ts_v1
+
+    assert t.version_as_of(ts_v1) == 1
+    assert t.read(as_of_ms=ts_v1).count() == 10
+    assert t.read(as_of_ms=ts_v2).count() == 15
+    assert t.read(as_of_ms=ts_v2 + 10_000).count() == 15  # future -> head
+    with pytest.raises(LoadError):
+        t.version_as_of(ts_v1 - 1_000_000)  # before table creation
+
+    from etl_rs_spark.sources import LakeSource
+
+    src = LakeSource(path=str(tmp_path / "t"), timestamp_ms=ts_v1)
+    assert src.extract(spark).count() == 10
+
+
+def test_manifest_stays_bounded_after_compaction(spark, tmp_path):
+    """The manifest files list is the driver-side scaling risk: after
+    compact() it must be O(num_buckets) regardless of how many commits
+    accumulated."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=4)
+    for i in range(12):
+        t.append(_df(spark, 8, convs=4))
+    assert len(t.current().files) > 12
+    t.compact()
+    snap = t.current()
+    assert len(snap.files) <= snap.num_buckets
+    assert t.read().count() == 12 * 8
