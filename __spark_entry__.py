@@ -280,21 +280,33 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH planted-duplicate recovery, oracle-checked: union the
     corpus with a perturbed copy of itself (uppercased, whitespace
-    padding — raw text differs, normalized shingles identical), then run
-    the full LSH pipeline at threshold 1.0. Identical shingle sets give
-    identical 64-hash signatures, so the emitted pairs are exactly the
-    normalized-text-equal ones — which IS SQL-expressible, putting the
-    whole pipeline (shingle -> signature -> banding -> bucket join ->
-    estimate) under the DuckDB value-hash oracle. Fuzzy thresholds stay
-    covered by tests/test_dedup_fuzzy.py."""
+    padding — raw text differs, normalized shingles identical), run the
+    full LSH pipeline at threshold 1.0, and keep the planted
+    (doc, copy) pairs. Identical shingle sets give identical 64-hash
+    signatures, which share every LSH band, so recovery of ALL planted
+    pairs at est_jaccard exactly 1.0 is deterministic — and
+    SQL-expressible, putting the whole pipeline (shingle -> signature ->
+    banding -> bucket join -> estimate) under the DuckDB value-hash
+    oracle. (The unfiltered pair set is NOT oracle-able: near-identical
+    corpus docs can collide on all 64 mins with probability (1-k/n)^64 —
+    an estimator property, not a bug.) Fuzzy thresholds stay covered by
+    tests/test_dedup_fuzzy.py."""
     from etl_rs_spark.operators.dedup import minhash_lsh_pairs
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # deterministic 1-in-10 sample: the planted-recovery property is
+    # per-document, so checking every 10th doc proves the same pipeline
+    # at a tenth of the signature cost (mirrored in the oracle SQL).
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
     copies = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.lit("  "), F.upper("text"), F.lit(" ")).alias("text"),
     )
-    return minhash_lsh_pairs(d.unionByName(copies), threshold=1.0).select(
+    pairs = minhash_lsh_pairs(d.unionByName(copies), threshold=1.0)
+    return pairs.where(F.col("id_b") == F.col("id_a") + 1000000).select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
     )
 
@@ -543,34 +555,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT floor(score * 10) / 10 AS q_bucket, count(*) AS n_docs
             FROM scored GROUP BY 1
         """,
-        # minhash_lsh_pairs at threshold 1.0 emits exactly the pairs
-        # with identical signatures == equal normalized texts (the only
-        # way all 64 mins agree on this corpus). The query plants a
-        # perturbed copy of each doc (doc_id+1000000, uppercased +
-        # whitespace-padded), so the expected pairs are SQL-derivable
-        # from the text column alone.
+        # planted-duplicate recovery: each doc's perturbed copy
+        # (doc_id+1000000, uppercase + whitespace padding) has the
+        # identical shingle set, hence identical signature, hence shares
+        # every LSH band — so the pipeline MUST emit every (doc, copy)
+        # pair at est_jaccard exactly 1.0. A missed band join, a
+        # non-deterministic hash family, or broken shingle normalization
+        # all fail this hash check.
         "minhash_exact_dup_pairs": """
-            WITH both_sets AS (
-                SELECT doc_id, text FROM documents
-                UNION ALL
-                SELECT doc_id + 1000000 AS doc_id,
-                       '  ' || upper(text) || ' ' AS text
-                FROM documents
-            ), norm AS (
-                SELECT doc_id,
-                       CASE WHEN text IS NULL THEN NULL
-                            ELSE lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
-                       END AS t
-                FROM both_sets
-            )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            SELECT doc_id AS id_a,
+                   doc_id + 1000000 AS id_b,
                    CAST(1.0 AS DOUBLE) AS est_jaccard
-            FROM norm a JOIN norm b
-              -- chr(1) sentinel keeps this an equi (hash) join while
-              -- matching NULL texts to each other, as the engine's
-              -- signature of a NULL text does
-              ON coalesce(a.t, chr(1)) = coalesce(b.t, chr(1))
-             AND a.doc_id < b.doc_id
+            FROM documents
+            WHERE doc_id % 10 = 0
         """,
         # minhash_pairs / simhash_fingerprints: intentionally no oracle
         # (engine-defined xxhash64-based hash families DuckDB cannot

@@ -32,6 +32,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
+    # untimed warm-up: a fresh JVM's first query pays one-time init (JIT
+    # of scan/agg internals, python/Arrow worker spawn) that otherwise
+    # lands on whichever query runs first and makes per-query numbers
+    # unattributable. Touch a scan+agg AND a pandas-UDF path once.
+    from pyspark.sql import functions as _F
+
+    from etl_rs_spark.functions.coercion import bool_flex
+
+    warm = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10000)
+    warm.select(
+        _F.sum("l_quantity"), _F.count("*")
+    ).collect()
+    warm.select(bool_flex(_F.col("l_returnflag"))).collect()
+
     out: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.monotonic()

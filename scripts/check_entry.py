@@ -82,8 +82,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         elif value_hash(sdf) != value_hash(odf):
             problems.append("value-hash mismatch")
             a, b = canon(sdf), canon(odf)
-            neq = (a != b).any(axis=1)
-            print(a[neq].head(3).to_string(), "\n--- oracle ---\n", b[neq].head(3).to_string())
+            if a.shape == b.shape:
+                neq = (a.reset_index(drop=True) != b.reset_index(drop=True)).any(axis=1)
+                print(a[neq.values].head(3).to_string(), "\n--- oracle ---\n", b[neq.values].head(3).to_string())
+            else:
+                print(f"shape {a.shape} vs oracle {b.shape}\n", a.head(3).to_string(), "\n--- oracle ---\n", b.head(3).to_string())
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures += 1

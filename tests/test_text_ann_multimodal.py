@@ -185,3 +185,34 @@ def test_session(ticks):
     )
     u1 = sorted(r["n"] for r in out.where("uid = 'u1'").collect())
     assert u1 == [1, 3]  # burst of 3, then isolated event
+
+
+def test_ivf_partitioned_index_prunes_scan(spark, tmp_path):
+    """fit(path=...) materializes one parquet partition per coarse cell;
+    search() must read only the nprobe probed partitions (real partition
+    pruning — the 10^10-row posture, nothing pinned in memory), and
+    nlist auto-sizes from the data when unset."""
+    import random
+
+    from etl_rs_spark import plans
+
+    random.seed(3)
+    clusters = {c: [random.gauss(0, 1) for _ in range(16)] for c in range(4)}
+    rows = [
+        (i, [x + random.gauss(0, 0.05) for x in clusters[i % 4]])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = clusters[0]
+
+    idx = IvfIndex(nlist=4, nprobe=1, seed=1).fit(df, path=str(tmp_path / "ivf"))
+    res = idx.search(q, k=20)
+    plan = plans.physical_plan(res)
+    assert "PartitionFilters" in plan and "__list" in plan.split("PartitionFilters")[1][:200]
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=20).collect()]
+    approx = [r["vec_id"] for r in res.collect()]
+    assert len(set(exact) & set(approx)) / 20 >= 0.9
+
+    # auto nlist: ~sqrt(N), never above the fit sample
+    auto = IvfIndex(nprobe=2, seed=1).fit(df, path=str(tmp_path / "ivf2"))
+    assert 1 <= auto.nlist <= 20  # sqrt(400) == 20
