@@ -259,6 +259,34 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation per user (streaming/windows.py,
+    Spark's native session_window) — oracled via the gaps-and-islands
+    construction in SQL: a session breaks when the gap to the previous
+    event is >= the timeout (Spark's session end = last event + gap,
+    end-exclusive merge)."""
+    from etl_rs_spark.streaming.windows import session_window_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = session_window_agg(
+        e,
+        "ts",
+        "30 minutes",
+        [
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        ],
+        group_by=["user_id"],
+    )
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.col("window_end").cast("string").alias("window_end"),
+        "user_id",
+        "n_events",
+        "value_sum",
+    )
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs over documents (rows-only check: the
     hash family is engine-specific so no SQL oracle; the pytest suite
@@ -356,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_reference_naming": q_agg_reference_naming,
         "set_ops": q_set_ops,
         "window_tumbling": q_window_tumbling,
+        "window_session": q_window_session,
         "minhash_pairs": q_minhash_pairs,
         "minhash_exact_dup_pairs": q_minhash_exact_dup_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -502,6 +531,32 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS value_sum
             FROM events
             GROUP BY 1, 2
+        """,
+        # gaps-and-islands: a new session starts when the previous event
+        # of the user is >= 30 min older (Spark merges strictly-within-
+        # gap events; session end = last event ts + gap, end-exclusive).
+        "window_session": """
+            WITH marks AS (
+                SELECT user_id, ts, value, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT *, sum(new_sess) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING
+                ) AS sid
+                FROM marks
+            )
+            SELECT CAST(min(ts) AS VARCHAR) AS window_start,
+                   CAST(max(ts) + INTERVAL '30 minutes' AS VARCHAR) AS window_end,
+                   user_id,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum
+            FROM sess
+            GROUP BY user_id, sid
         """,
         "lang_id": """
             WITH toks AS (

@@ -262,14 +262,28 @@ def minhash_signature(col, num_hashes: int = 64, k: int = 5) -> F.Column:
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _min_all(hs: pd.Series) -> pd.Series:
-        out = []
-        for h in hs:
-            if h is None or len(h) == 0:
-                out.append([_MERSENNE31] * len(a_vec))
-                continue
-            arr = np.asarray(h, dtype=np.int64)[None, :]
-            out.append(((a_vec * arr + b_vec) % _MERSENNE31).min(axis=1).tolist())
-        return pd.Series(out)
+        # fully vectorized across the Arrow batch: flatten every doc's
+        # shingle hashes into ONE matrix op (64 x total_shingles), then
+        # per-doc mins via np.minimum.reduceat on the list offsets — no
+        # per-document python loop (the round-1 version iterated docs,
+        # which dominated the operator at corpus scale).
+        n_h = len(a_vec)
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in hs), dtype=np.int64, count=len(hs)
+        )
+        if lens.sum() == 0:
+            return pd.Series([[_MERSENNE31] * n_h] * len(hs))
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hs if h is not None and len(h)]
+        )[None, :]
+        sig_flat = (a_vec * flat + b_vec) % _MERSENNE31  # (64, total)
+        nonempty = lens > 0
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=starts[1:])
+        mins = np.minimum.reduceat(sig_flat, starts, axis=1)  # (64, docs)
+        out = np.full((len(hs), n_h), _MERSENNE31, dtype=np.int64)
+        out[nonempty] = mins.T
+        return pd.Series(list(out.tolist()))
 
     sh = shingles(col, k)
     base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))

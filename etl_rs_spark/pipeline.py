@@ -47,7 +47,7 @@ class PipelineResult:
 class Pipeline:
     def __init__(
         self, extractor, transform, loader, config, emitter, pipeline_id,
-        plugins=None,
+        plugins=None, validator=None, validation_policy: str = "warn",
     ):
         self.extractor = extractor
         self.transform = transform
@@ -56,6 +56,11 @@ class Pipeline:
         self.emitter = emitter
         self.pipeline_id = pipeline_id
         self.plugins = plugins
+        #: Validator analogue (ref src/traits.rs:77-86): anything with
+        #: validate(df) -> list[str]. policy: "fail" aborts the run on
+        #: violations, "warn" emits a validation event and continues.
+        self.validator = validator
+        self.validation_policy = validation_policy
         self.metrics = PipelineMetrics()
         self.state = "idle"
 
@@ -152,6 +157,22 @@ class Pipeline:
             except Exception as exc:
                 raise TransformError(str(exc)) from exc
 
+            if self.validator is not None:
+                self._set_state("validating")
+                violations = self.validator.validate(df)
+                if violations:
+                    self.emitter.emit(
+                        PipelineEvent(
+                            "validation_failed",
+                            self.pipeline_id,
+                            data={"violations": violations},
+                        )
+                    )
+                    if self.validation_policy == "fail":
+                        raise TransformError(
+                            "validation failed: " + "; ".join(violations)
+                        )
+
             self._set_state("loading")
             df = self._fire("before", "load", df)
 
@@ -234,9 +255,16 @@ class PipelineBuilder:
         self._config: EngineConfig | None = None
         self._emitter = None
         self._plugins = None
+        self._validator = None
+        self._validation_policy = "warn"
 
     def plugins(self, registry) -> "PipelineBuilder":
         self._plugins = registry
+        return self
+
+    def validate(self, validator, policy: str = "warn") -> "PipelineBuilder":
+        self._validator = validator
+        self._validation_policy = policy
         return self
 
     def extract(self, extractor) -> "PipelineBuilder":
@@ -273,4 +301,6 @@ class PipelineBuilder:
             self._emitter or LoggingEventEmitter(),
             pid,
             plugins=self._plugins,
+            validator=self._validator,
+            validation_policy=self._validation_policy,
         )

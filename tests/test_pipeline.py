@@ -153,3 +153,47 @@ def test_plugin_hooks_fire_and_rewrite(spark, users_csv):
 
     with _pytest.raises(ValueError):
         reg.register_before("nope", lambda c, d: None)
+
+
+def test_validator_warn_and_fail_policies(spark, users_csv):
+    """Validator trait analogue (ref src/traits.rs:77-86, declared-only
+    there): one-scan declarative rule evaluation; warn emits the
+    violation event and continues, fail aborts as TransformError."""
+    from pyspark.sql import functions as F
+
+    from etl_rs_spark.errors import TransformError
+    from etl_rs_spark.validate import RuleValidator
+
+    v = RuleValidator(
+        {"adult": F.col("age") >= 18, "has_name": F.col("name").isNotNull()}
+    )
+    emitter = InMemoryEventEmitter()
+    sink = sinks.MemorySink()
+    p = (
+        Pipeline.builder()
+        .extract(sources.CsvSource(users_csv))
+        .load(sink)
+        .emitter(emitter)
+        .validate(v, policy="warn")
+        .build()
+    )
+    result = p.execute(spark)
+    assert result.rows_processed == 4  # warn: load still happens
+    ev = [e for e in emitter.events if e.kind == "validation_failed"]
+    assert len(ev) == 1
+    assert ev[0].data["violations"] == ["adult: 1 rows violate"]
+
+    strict = (
+        Pipeline.builder()
+        .extract(sources.CsvSource(users_csv))
+        .load(sinks.MemorySink())
+        .emitter(InMemoryEventEmitter())
+        .validate(v, policy="fail")
+        .build()
+    )
+    with pytest.raises(TransformError, match="adult"):
+        strict.execute(spark)
+
+    # clean data passes silently
+    ok = RuleValidator({"id_present": F.col("id").isNotNull()})
+    assert ok.validate(spark.read.option("header", True).csv(users_csv)) == []
