@@ -45,6 +45,7 @@ class StreamDriver:
         coerce_spec: dict[str, str] | None = None,
         lineage_dir: str | None = None,
         retry: RetryConfig | None = None,
+        compact_every: int | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -56,10 +57,16 @@ class StreamDriver:
         self.coerce_spec = coerce_spec
         self.lineage_dir = lineage_dir
         self.retry = retry or RetryConfig()
+        #: table maintenance under sustained ingest: every N applied
+        #: batches, compact() rewrites each bucket to one file, keeping
+        #: both the file count and the manifest O(buckets) over a
+        #: 10^10-event run instead of O(batches x buckets).
+        self.compact_every = compact_every
         # run identity = the checkpoint: replays within one checkpoint
         # lineage share it, so the table's commit log can skip them.
         self.run_id = os.path.abspath(checkpoint_dir)
         self.batch_stats: list[dict[str, Any]] = []
+        self._applied_since_compact = 0
 
     def _foreach_batch(self, batch_df, batch_id: int) -> None:
         # retry recoverable failures with backoff (reference RetryConfig,
@@ -79,6 +86,16 @@ class StreamDriver:
             self.retry,
         )
         self.batch_stats.append(stats)
+        if self.compact_every and not stats.get("skipped"):
+            self._applied_since_compact += 1
+            if self._applied_since_compact >= self.compact_every:
+                # files-only compaction: tombstones are NOT dropped here
+                # because binlog files may deliver LSNs out of order
+                # across batches, so no watermark proves an old delete
+                # unreachable; tombstone expiry stays an explicit
+                # operator call with a caller-supplied horizon.
+                self.table.compact()
+                self._applied_since_compact = 0
 
     def _reader(self):
         reader = (

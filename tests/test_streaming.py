@@ -132,3 +132,29 @@ def test_skewed_stream_with_salted_dedup(spark, tmp_path, stream):
 
     apply_batch(table, to_envelope(stream), batch_id=0, run_id="r", cfg=cfg)
     assert_state_equal(table.read().toPandas(), replay(stream.toPandas()))
+
+
+def test_auto_compaction_bounds_files(spark, tmp_path, stream, binlog):
+    """compact_every keeps the table's file count and manifest
+    O(buckets) under sustained ingest, without changing final state."""
+    events_dir, _ = binlog
+    table = LakeTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        num_buckets=4,
+    )
+    StreamDriver(
+        spark,
+        table,
+        events_dir,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        compact_every=2,
+    ).run_available_now(timeout_s=240)
+    snap = table.current()
+    # most recent compaction bounds files near O(buckets); a trailing
+    # uncompacted batch may add at most one commit's worth
+    assert len(snap.files) <= 3 * snap.num_buckets
+    oracle = replay(stream.toPandas())
+    assert_state_equal(table.read().toPandas(), oracle)
