@@ -400,41 +400,49 @@ def minhash_dedup(
 def simhash(col, bits: int = 64) -> F.Column:
     """SimHash of a text column, as a signed 64-bit long. Per token the
     64-bit xxhash votes +1/-1 per bit position; the sign of each summed
-    position forms the fingerprint. Pure Column fold — JVM-side."""
+    position forms the fingerprint.
+
+    Token hashing stays JVM-side (one xxhash64 pass); the 64-bit vote
+    tally runs as one numpy bit-unpack + segmented reduce per Arrow
+    batch. The round-1 version folded tokens x 64 masks through Spark's
+    INTERPRETED higher-order lambdas (~1us per element) — correct, but
+    the per-element interpreter cost dominated at corpus scale, the same
+    pathology the minhash signature had."""
+    assert bits == 64, "vectorized tally is fixed at 64 bits"
     c = F.col(col) if isinstance(col, str) else col
     words = F.split(F.lower(F.trim(c)), r"\s+")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
-    # literal per-bit masks (shiftleft needs a python-int shift, so the
-    # lambda-variable bit index selects from this array instead); bit 63
-    # wraps to the sign bit of a signed long.
-    def mask_val(i: int) -> int:
-        v = 1 << i
-        return v - (1 << 64) if v >= 1 << 63 else v
 
-    masks = F.array(*[F.lit(mask_val(i)).cast("long") for i in range(bits)])
-    # acc: array<int> of per-bit counters, folded over token hashes
-    zero = F.array_repeat(F.lit(0), bits)
-    counters = F.aggregate(
-        hashes,
-        zero,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                masks,
-                lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
-            ),
-            lambda a, v: a + v,
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(
-            counters,
-            masks,
-            lambda cnt, m: F.when(cnt > 0, m).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc.bitwiseOR(v),
-    )
+    @pandas_udf(T.LongType())
+    def _tally(hs: pd.Series) -> pd.Series:
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in hs), dtype=np.int64, count=len(hs)
+        )
+        out = np.zeros(len(hs), dtype=np.uint64)
+        nonempty = lens > 0
+        if nonempty.any():
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in hs if h is not None and len(h)]
+            ).view(np.uint64)
+            # (total_tokens, 64) +1/-1 votes, segment-summed per doc
+            votes = (
+                ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                    np.int32
+                )
+                * 2
+                - 1
+            )
+            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=starts[1:])
+            counts = np.add.reduceat(votes, starts, axis=0)  # (docs, 64)
+            fps = ((counts > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[nonempty] = fps
+        res = pd.Series(out.view(np.int64))
+        return res.mask(pd.Series([h is None for h in hs]), None)
+
+    return _tally(hashes)
 
 
 def simhash_pairs(
