@@ -158,3 +158,56 @@ def test_auto_compaction_bounds_files(spark, tmp_path, stream, binlog):
     assert len(snap.files) <= 3 * snap.num_buckets
     oracle = replay(stream.toPandas())
     assert_state_equal(table.read().toPandas(), oracle)
+
+
+def test_stateful_running_stats_across_batches(spark, tmp_path, stream, binlog):
+    """applyInPandasWithState: per-conversation running totals maintain
+    state ACROSS microbatches (update mode); the last emitted row per
+    conversation equals the batch ground truth."""
+    events_dir, _ = binlog
+    from etl_rs_spark.generator import ENVELOPE_SCHEMA
+    from etl_rs_spark.streaming.stateful import running_conversation_stats
+
+    src = (
+        spark.readStream.schema(ENVELOPE_SCHEMA)
+        .option("maxFilesPerTrigger", 2)  # force >1 microbatch
+        .parquet(events_dir)
+    )
+    out_dir = str(tmp_path / "stats-out")
+    q = (
+        running_conversation_stats(src)
+        .writeStream.format("memory")
+        .queryName("conv_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(240), "availableNow drain did not finish"
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT * FROM conv_stats"
+    ).toPandas()
+    # update mode emits one row per (conv, batch-it-appeared-in); the
+    # LAST emission per conv carries the final running totals
+    final = got.groupby("conv_id").last()
+
+    truth = (
+        stream.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("turn_idx").alias("n_turns"),
+            F.max("ts").alias("last_ts"),
+        )
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert len(final) == len(truth)
+    merged = final.join(truth, lsuffix="_got")
+    assert (merged["n_events_got"] == merged["n_events"]).all()
+    assert (merged["n_turns_got"] == merged["n_turns"]).all()
+    # cross-batch statefulness: with 6 files at 2/trigger, the hot conv
+    # appears in multiple batches, so it must emit MORE than one row
+    hot = got["conv_id"].value_counts().max()
+    assert hot >= 2
