@@ -362,6 +362,93 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("q_bucket").agg(F.count("*").alias("n_docs"))
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: MinHash/LSH candidate pairs →
+    distributed connected components (operators/cc.py, alternating
+    large-star/small-star). Oracle-checked with planted CHAINS: every
+    10th doc gets two perturbed copies, and the pair set is restricted
+    to the links (base, +1M) and (+1M, +2M) — so the +2M copy reaches
+    its cluster id ONLY through two hops of label propagation; a
+    non-transitive pair-grouping fails the hash check."""
+    from etl_rs_spark.operators.cc import connected_components
+    from etl_rs_spark.operators.dedup import minhash_lsh_pairs
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    c1 = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" ")).alias("text"),
+    )
+    c2 = d.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("   ")).alias("text"),
+    )
+    pairs = minhash_lsh_pairs(
+        d.unionByName(c1).unionByName(c2), threshold=1.0
+    )
+    chain = pairs.where(
+        (F.col("id_b") % 1000000 == F.col("id_a") % 1000000)
+        & (F.col("id_b") - F.col("id_a") == 1000000)
+    )
+    return connected_components(chain)
+
+
+def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming (applyInPandasWithState,
+    streaming/stateful.py): per-user running totals maintained in the
+    state store across microbatches, drained with availableNow. The
+    counters are monotonic, so max() over the update-mode emissions
+    equals the final state — which is exactly the batch aggregate the
+    DuckDB oracle computes."""
+    import uuid
+
+    from etl_rs_spark.streaming.stateful import running_group_stats
+
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    qname = "stateful_user_stats_" + uuid.uuid4().hex[:8]
+    # the streaming file source requires a DIRECTORY (testdata ships a
+    # single file); expose it through a temp dir of symlinks
+    stream_dir = tempfile.mkdtemp(prefix="stateful-src-")
+    os.symlink(os.path.abspath(path), f"{stream_dir}/events.parquet")
+    # watermarks require TIMESTAMP; testdata ts is TIMESTAMP_NTZ. The
+    # session tz is pinned UTC (session.py), so the cast is value-exact
+    # and is undone on the way out.
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        running_group_stats(src, "user_id", "event_type", "ts")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise RuntimeError("stateful drain did not finish in 300s")
+    finally:
+        q.stop()
+    return (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_distinct").alias("n_event_types"),
+            F.max("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        )
+    )
+
+
 # -------------------------------------------------------------- contract --
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -390,6 +477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
+        "stateful_user_stats": q_stateful_user_stats,
+        "dup_clusters": q_dup_clusters,
     }
 
 
@@ -623,6 +712,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1.0 AS DOUBLE) AS est_jaccard
             FROM documents
             WHERE doc_id % 10 = 0
+        """,
+        # the stateful streaming drain's final state IS the batch
+        # aggregate (monotonic counters, LWW last_ts) — SQL-expressible
+        "stateful_user_stats": """
+            SELECT user_id,
+                   count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_event_types,
+                   max(ts) AS last_ts
+            FROM events
+            GROUP BY user_id
+        """,
+        # planted chains base -> +1M -> +2M: the component id of every
+        # member is the base doc_id, reachable for +2M only transitively
+        "dup_clusters": """
+            SELECT CAST(doc_id AS BIGINT) AS id,
+                   CAST(doc_id AS BIGINT) AS cluster_id
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT CAST(doc_id + 1000000 AS BIGINT),
+                   CAST(doc_id AS BIGINT)
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT CAST(doc_id + 2000000 AS BIGINT),
+                   CAST(doc_id AS BIGINT)
+            FROM documents WHERE doc_id % 10 = 0
         """,
         # minhash_pairs / simhash_fingerprints: intentionally no oracle
         # (engine-defined xxhash64-based hash families DuckDB cannot
