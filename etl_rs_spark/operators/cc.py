@@ -77,7 +77,12 @@ def connected_components(
     star-shaped (every u maps straight to its component min), detected
     by one count of non-fixpoint edges per round.
     """
-    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # checkpoint the RAW pairs first: nodes and edges both derive from
+    # them, and without this the whole upstream candidate pipeline
+    # (typically a full LSH pass) evaluates twice
+    raw = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint()
     # node set from the RAW pairs: a self-loop contributes no edge but
     # its node is still a (singleton) component
     nodes = (

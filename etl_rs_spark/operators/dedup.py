@@ -302,6 +302,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs with estimated
     Jaccard >= threshold.
@@ -323,6 +324,15 @@ def minhash_lsh_pairs(
     candidate dedup (~16x signature bytes through the shuffle — the
     single most expensive query at sf0.1).
 
+    ``cache_signatures`` persists the (id, signature) projection
+    (MEMORY_AND_DISK) so the shingle hashing + 64-way min reduction —
+    the compute-dominant stage — runs ONCE instead of once for the
+    banding scan and once more per join-back side that escapes
+    ReuseExchange. Signatures are ~520 bytes/doc, orders of magnitude
+    smaller than the corpus; at a 10^10-doc scale a caller should
+    instead materialize them as a table (and pass the result of a
+    prior run), which is why the flag exists.
+
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
     """
     rows = num_hashes // bands
@@ -335,6 +345,10 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__id"),
         minhash_signature(text_col, num_hashes, shingle_k).alias("__sig"),
     )
+    if cache_signatures:
+        from pyspark import StorageLevel
+
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sig.select(
         "__id",
         F.explode(
