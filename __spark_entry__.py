@@ -449,6 +449,97 @@ def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h size, 30m slide): every event
+    lands in exactly duration/slide = 2 windows. Oracled by unnesting
+    the two covering window starts per event in SQL."""
+    from etl_rs_spark.streaming.windows import sliding_window_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = sliding_window_agg(
+        e,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        [
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        ],
+        group_by=["event_type"],
+    )
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        "value_sum",
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-3-gram Jaccard set-similarity join (the verification
+    counterpart of the MinHash estimate) — fully SQL-expressible, so the
+    whole postings-join pipeline (distinct n-grams -> equi-join ->
+    intersection counts -> |A∩B|/|A∪B|) is under the value-hash
+    oracle."""
+    from etl_rs_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.2)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN with nprobe = nlist: probing every coarse cell makes
+    the approximate index EXACT, so the full machinery (driver k-means
+    codebook, vectorized cell assignment, probed-cell scan, per-cell
+    exact re-rank) lands under the same cosine-top-k oracle as the
+    brute-force baseline — a wrong assignment, a dropped cell, or an
+    unstable tiebreak all break the hash. Rank-only output keeps the
+    hash float-free."""
+    from pyspark.sql.window import Window
+
+    from etl_rs_spark.operators.ann import IvfIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 1).select("embedding").first()[0]
+    ]
+    idx = IvfIndex(nlist=8, nprobe=8)
+    idx.fit(emb.where(F.col("vec_id") != 1))
+    top = idx.search(qvec, k=10)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), F.col("vec_id")))
+        .alias("rank"),
+        "vec_id",
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via multi-table hyperplane LSH, with
+    planted duplicates: every 10th vector gets an IDENTICAL copy at
+    vec_id+1M. Identical vectors project to identical sign patterns, so
+    they share a bucket in EVERY hash table — recovery of each planted
+    pair at cosine 1.0 is deterministic, which puts the banding,
+    OR-amplification and exact re-rank under the value-hash oracle
+    (natural near-dups are excluded: their recovery is the probabilistic
+    S-curve, covered by the recall pytest)."""
+    from etl_rs_spark.operators.dedup import embedding_neardup_pairs
+
+    base = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "embedding")
+    )
+    planted = base.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    pairs = embedding_neardup_pairs(
+        base.unionByName(planted), threshold=0.99
+    )
+    return pairs.where(F.col("id_b") - F.col("id_a") == 1000000)
+
+
 # -------------------------------------------------------------- contract --
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -479,6 +570,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "stateful_user_stats": q_stateful_user_stats,
         "dup_clusters": q_dup_clusters,
+        "window_sliding": q_window_sliding,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ivf_topk": q_ivf_topk,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -737,6 +832,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id + 2000000 AS BIGINT),
                    CAST(doc_id AS BIGINT)
             FROM documents WHERE doc_id % 10 = 0
+        """,
+        # each event lands in exactly two 1h/30m sliding windows: the
+        # 30m bucket containing it and the one before
+        "window_sliding": """
+            WITH slid AS (
+              SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                             time_bucket(INTERVAL '30 minutes', ts)
+                               - INTERVAL '30 minutes']) AS window_start,
+                     event_type, value
+              FROM events
+            )
+            SELECT CAST(window_start AS VARCHAR) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 2) AS value_sum
+            FROM slid GROUP BY 1, 2
+        """,
+        "ngram_jaccard": """
+            WITH grams AS (
+              SELECT doc_id, unnest(list_distinct(
+                list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                               i -> array_to_string(w[i:i+2], ' '))
+              )) AS g
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                    FROM documents)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM grams a JOIN grams b USING (g)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(common::DOUBLE / (sa.sz + sb.sz - common), 4) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                       JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(common::DOUBLE / (sa.sz + sb.sz - common), 4) >= 0.2
+        """,
+        # IVF with nprobe = nlist is exact -> same oracle shape as the
+        # brute-force cosine top-k, for query vector vec_id=1
+        "ivf_topk": """
+            WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 1),
+            sims AS (
+                SELECT vec_id,
+                       list_cosine_similarity(embedding, qvec) AS sim
+                FROM embeddings, q WHERE vec_id <> 1
+            )
+            SELECT row_number() OVER (ORDER BY sim DESC, vec_id) AS rank, vec_id
+            FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        # planted identical copies are recovered deterministically by
+        # every hyperplane table at cosine exactly 1.0
+        "embedding_neardup": """
+            SELECT vec_id AS id_a,
+                   vec_id + 1000000 AS id_b,
+                   CAST(1.0 AS DOUBLE) AS cosine
+            FROM embeddings
+            WHERE vec_id % 10 = 0
         """,
         # minhash_pairs / simhash_fingerprints: intentionally no oracle
         # (engine-defined xxhash64-based hash families DuckDB cannot
