@@ -540,6 +540,58 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("id_b") - F.col("id_a") == 1000000)
 
 
+def _fake_assets(spark: SparkSession, sf_dir: str, mime: str) -> DataFrame:
+    """Multimodal asset table derived deterministically from documents:
+    text bytes as the opaque binary payload + typed metadata (no
+    external data, mirrors operators/multimodal.IMAGE_SCHEMA shape)."""
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.col("text").cast("binary").alias("content"),
+        F.lit(mime).alias("mime"),
+        (F.col("n_chars") % 512 + 64).cast("int").alias("width"),
+        (F.col("n_chars") % 256 + 64).cast("int").alias("height"),
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing under the oracle: an asset table (text
+    bytes as opaque payload) goes through the mapInPandas resize kernel
+    (fake=True passthrough — no image libs in this container), then the
+    payload is decoded back to a string. Byte-identical Arrow round-trip
+    of the binary column + the metadata rewrite are what the value hash
+    checks; a corrupted batch, a dropped row, or a schema drift in the
+    UDF all fail it."""
+    from etl_rs_spark.operators.multimodal import resize_images
+
+    out = resize_images(_fake_assets(spark, sf_dir, "image/fake"), 64, 64, fake=True)
+    return out.select(
+        "asset_id",
+        F.col("content").cast("string").alias("text_roundtrip"),
+        "mime",
+        "width",
+        "height",
+    )
+
+
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-style 1->N frame sampling through mapInPandas: each asset
+    expands to duration_ms/every_ms rows. The oracle checks the
+    expansion shape exactly (which asset, which frame indices); the
+    per-frame fingerprint is engine-defined (sha256-derived) and left
+    out of the hashed columns."""
+    from etl_rs_spark.operators.multimodal import sample_audio_frames
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.col("text").cast("binary").alias("content"),
+        F.lit("audio/fake").alias("mime"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+        ((F.col("n_chars") % 5 + 1) * 1000).cast("int").alias("duration_ms"),
+    )
+    out = sample_audio_frames(d, every_ms=1000, fake=True)
+    return out.select("asset_id", "frame_idx")
+
+
 # -------------------------------------------------------------- contract --
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -574,6 +626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
+        "multimodal_resize": q_multimodal_resize,
+        "audio_frames": q_audio_frames,
     }
 
 
@@ -890,6 +944,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1.0 AS DOUBLE) AS cosine
             FROM embeddings
             WHERE vec_id % 10 = 0
+        """,
+        # binary payload round-trips the mapInPandas kernel untouched;
+        # metadata rewritten to the resize target
+        "multimodal_resize": """
+            SELECT doc_id AS asset_id,
+                   text AS text_roundtrip,
+                   'image/fake' AS mime,
+                   CAST(64 AS INTEGER) AS width,
+                   CAST(64 AS INTEGER) AS height
+            FROM documents
+        """,
+        # each asset yields duration_ms/1000 = (n_chars % 5 + 1) frames
+        "audio_frames": """
+            SELECT asset_id, CAST(f AS INTEGER) AS frame_idx FROM (
+                SELECT doc_id AS asset_id,
+                       unnest(generate_series(0, (n_chars % 5 + 1) - 1)) AS f
+                FROM documents
+            )
         """,
         # minhash_pairs / simhash_fingerprints: intentionally no oracle
         # (engine-defined xxhash64-based hash families DuckDB cannot

@@ -180,7 +180,9 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "4000000"))
     n_batches = int(os.environ.get("SPARK_GRAFT_CDC_BATCHES", "4"))
-    n_reps = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "1"))
+    # default 2 reps, best kept: same steady-state discipline as the
+    # query passes (the scaling runner overrides to its own schedule)
+    n_reps = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "2"))
     # default the bench working set to tmpfs when present: the CDC bench
     # measures the ENGINE's sustained rate, and each real executor has
     # local NVMe; the sandbox's one shared ext4 disk is not part of the
