@@ -592,6 +592,56 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("asset_id", "frame_idx")
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): every click event picks up
+    the user's most recent purchase at-or-before it — the union + single
+    keyed shuffle + running last() plan, mirrored by DuckDB's native
+    ASOF LEFT JOIN. The right side is pre-aggregated to one row per
+    (user, ts) so the equal-ts tiebreak is deterministic in both
+    engines."""
+    from etl_rs_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("purchase_value"))
+    )
+    out = asof_join(clicks, purchases, on="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("click_ts"),
+        F.col("ts_r").cast("string").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (operators/temporal.py): click-purchase pairs of
+    the same user within +/-1 hour, via the bin-bucketed equi-join
+    (never a nested loop — plan-asserted in tests/test_temporal.py),
+    aggregated per user. Oracle: the same inequality join written
+    plainly in SQL."""
+    from etl_rs_spark.operators.temporal import interval_join
+
+    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    pairs = interval_join(clicks, purchases, on="user_id", low_s=-3600, high_s=3600)
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum("value"), 2).alias("purchase_value_sum"),
+    )
+
+
 # -------------------------------------------------------------- contract --
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -628,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "multimodal_resize": q_multimodal_resize,
         "audio_frames": q_audio_frames,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
     }
 
 
@@ -962,6 +1014,40 @@ def oracle_sql() -> dict[str, str]:
                        unnest(generate_series(0, (n_chars % 5 + 1) - 1)) AS f
                 FROM documents
             )
+        """,
+        "asof_join": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ), purchases AS (
+                SELECT user_id, ts, round(max(value), 2) AS purchase_value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            )
+            SELECT c.event_id, c.user_id,
+                   CAST(c.ts AS VARCHAR) AS click_ts,
+                   CAST(p.ts AS VARCHAR) AS purchase_ts,
+                   p.purchase_value
+            FROM clicks c
+            ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "interval_join": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ), purchases AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT c.user_id,
+                   count(*) AS n_pairs,
+                   round(sum(p.value), 2) AS purchase_value_sum
+            FROM clicks c JOIN purchases p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts - INTERVAL '3600 seconds'
+             AND p.ts <= c.ts + INTERVAL '3600 seconds'
+            GROUP BY c.user_id
         """,
         # minhash_pairs / simhash_fingerprints: intentionally no oracle
         # (engine-defined xxhash64-based hash families DuckDB cannot

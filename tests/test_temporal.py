@@ -1,0 +1,147 @@
+"""as-of and interval joins vs independent oracles (pandas merge_asof /
+brute-force filtering) + plan shape (no nested-loop join)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rs_spark.operators.temporal import asof_join, interval_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts(1), 100.0),
+            ("A", _ts(5), 101.0),
+            ("A", _ts(10), 99.0),
+            ("B", _ts(2), 50.0),
+            ("B", _ts(3), 51.0),
+            ("C", _ts(4), 7.0),  # key with no quotes at all
+        ],
+        "sym string, ts timestamp, price double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts(0), 99.5),
+            ("A", _ts(5), 100.5),  # equal-ts: backward match is inclusive
+            ("A", _ts(7), 98.5),
+            ("B", _ts(2.5), 49.5),
+        ],
+        "sym string, ts timestamp, bid double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_matches_pandas(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    got = (
+        asof_join(trades, quotes, on="sym")
+        .toPandas()
+        .sort_values(["sym", "ts"])
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        trades.toPandas().sort_values("ts"),
+        quotes.toPandas().sort_values("ts").rename(columns={"ts": "ts_r"}),
+        left_on="ts",
+        right_on="ts_r",
+        by="sym",
+        direction="backward",
+    ).sort_values(["sym", "ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["sym", "ts", "price", "ts_r", "bid"]],
+        want[["sym", "ts", "price", "ts_r", "bid"]],
+        check_dtype=False,
+    )
+    # the equal-ts trade took the equal-ts quote (inclusive)
+    row = got[(got.sym == "A") & (got.ts == _ts(5))].iloc[0]
+    assert row.bid == 100.5
+    # key with no right rows survives with nulls (left join)
+    assert got[got.sym == "C"].bid.isna().all()
+
+
+def test_asof_forward(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    got = asof_join(trades, quotes, on="sym", direction="forward").toPandas()
+    by_key = {(r.sym, r.ts): r for r in got.itertuples()}
+    assert by_key[("A", _ts(1))].bid == 100.5  # next quote at t=5
+    assert by_key[("A", _ts(5))].bid == 100.5  # inclusive
+    assert by_key[("A", _ts(10))].ts_r is pd.NaT or pd.isna(
+        by_key[("A", _ts(10))].bid
+    )  # nothing after t=7... at t=10
+
+
+def test_asof_suffixes_colliding_payload(spark):
+    left = spark.createDataFrame(
+        [("k", _ts(1), 1.0)], "k string, ts timestamp, v double"
+    )
+    right = spark.createDataFrame(
+        [("k", _ts(0), 2.0)], "k string, ts timestamp, v double"
+    )
+    out = asof_join(left, right, on="k")
+    assert set(out.columns) == {"k", "ts", "v", "ts_r", "v_r"}
+    row = out.collect()[0]
+    assert row.v == 1.0 and row.v_r == 2.0
+
+
+def test_interval_join_exact_vs_bruteforce(spark, events_df):
+    left = events_df.where(F.col("event_type") == "click")
+    right = events_df.where(F.col("event_type") == "purchase")
+    got = interval_join(
+        left, right, on="user_id", low_s=-600, high_s=600
+    ).select("event_id", "event_id_r")
+    lp = left.toPandas()
+    rp = right.toPandas()
+    merged = lp.merge(rp, on="user_id", suffixes=("", "_r"))
+    dtv = (merged.ts_r - merged.ts).dt.total_seconds()
+    want = merged[(dtv >= -600) & (dtv <= 600)][["event_id", "event_id_r"]]
+    g = got.toPandas().sort_values(["event_id", "event_id_r"]).reset_index(drop=True)
+    w = want.sort_values(["event_id", "event_id_r"]).reset_index(drop=True)
+    assert len(g) == len(w) and len(g) > 0
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_interval_join_plan_no_nested_loop(spark, events_df):
+    left = events_df.where(F.col("event_type") == "click")
+    right = events_df.where(F.col("event_type") == "purchase")
+    plan = interval_join(
+        left, right, on="user_id", low_s=-600, high_s=600
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_boundary_exact_at_bin_edges(spark):
+    # right rows exactly at left_ts+low and left_ts+high are included;
+    # one microsecond outside is not
+    left = spark.createDataFrame([("k", _ts(10))], "k string, ts timestamp")
+    rows = [
+        ("k", _ts(10) + dt.timedelta(seconds=-600), "lo_edge"),
+        ("k", _ts(10) + dt.timedelta(seconds=600), "hi_edge"),
+        ("k", _ts(10) + dt.timedelta(seconds=-600, microseconds=-1), "below"),
+        ("k", _ts(10) + dt.timedelta(seconds=600, microseconds=1), "above"),
+    ]
+    right = spark.createDataFrame(rows, "k string, ts timestamp, tag string")
+    got = interval_join(left, right, on="k", low_s=-600, high_s=600)
+    tags = {r.tag for r in got.collect()}
+    assert tags == {"lo_edge", "hi_edge"}
