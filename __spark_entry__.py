@@ -642,6 +642,24 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: one pass emits the
+    (day, event_type), per-day, and grand-total aggregate levels via
+    Spark's native ROLLUP (partial-agg friendly — each level is a
+    re-aggregation of the finer one, not a re-scan). Subtotal rows are
+    identified by their NULL grouping columns in both engines."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").cast("string")
+    return (
+        e.select(day.alias("day"), "event_type", "value")
+        .rollup("day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+
+
 # -------------------------------------------------------------- contract --
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -680,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frames": q_audio_frames,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "time_rollup": q_time_rollup,
     }
 
 
@@ -1048,6 +1067,17 @@ def oracle_sql() -> dict[str, str]:
              AND p.ts >= c.ts - INTERVAL '3600 seconds'
              AND p.ts <= c.ts + INTERVAL '3600 seconds'
             GROUP BY c.user_id
+        """,
+        "time_rollup": """
+            SELECT day, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum
+            FROM (
+                SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+                       event_type, value
+                FROM events
+            )
+            GROUP BY ROLLUP(day, event_type)
         """,
         # minhash_pairs / simhash_fingerprints: intentionally no oracle
         # (engine-defined xxhash64-based hash families DuckDB cannot

@@ -56,6 +56,44 @@ from etl_rs_spark.operators.dedup import (
 from etl_rs_spark.sinks.lake import LakeTable, bucket_expr
 
 
+def _dlq_invalid_expr(cfg: CdcConfig):
+    """True for envelope rows that cannot participate in the LWW merge:
+    any null merge-key/order field, or a payload that is present but not
+    a JSON object (json_object_keys -> NULL for malformed/non-object).
+    Pure JVM Column exprs — rides the dedup scan for free."""
+    bad = F.lit(False)
+    for c in (*cfg.merge_keys, *cfg.order_cols):
+        bad = bad | F.col(c).isNull()
+    return bad | (
+        F.col("payload").isNotNull()
+        & F.json_object_keys(F.col("payload")).isNull()
+    )
+
+
+def _write_dead_letters(
+    envelope: DataFrame, cfg: CdcConfig, run_id: str, batch_id: int
+) -> None:
+    """Quarantine the invalid rows (rare path — launched only when the
+    observed invalid count is nonzero): original envelope columns plus
+    a reason and the (run, batch) provenance, appended as parquet."""
+    null_key = F.lit(False)
+    for c in (*cfg.merge_keys, *cfg.order_cols):
+        null_key = null_key | F.col(c).isNull()
+    (
+        envelope.where(_dlq_invalid_expr(cfg))
+        .select(
+            "*",
+            F.when(null_key, F.lit("null_key_field"))
+            .otherwise(F.lit("unparseable_payload"))
+            .alias("dlq_reason"),
+            F.lit(run_id).alias("dlq_run_id"),
+            F.lit(batch_id).alias("dlq_batch_id"),
+        )
+        .write.mode("append")
+        .parquet(cfg.dead_letter_dir)
+    )
+
+
 def apply_batch(
     table: LakeTable,
     envelope: DataFrame,
@@ -108,9 +146,28 @@ def apply_batch(
     # events that lose their batch's LWW race contributes no value to
     # state and does not widen the schema (it widens later, when a
     # winner first carries it) — state content is identical either way.
+    #
+    # Dead-letter gate: rows whose merge key/order fields are null or
+    # whose payload is not a JSON object cannot participate in LWW and
+    # would otherwise corrupt the null-key group / silently drop fields.
+    # The invalid count is observed ON the dedup scan itself (no extra
+    # pass); the quarantine write job only launches when it is nonzero.
+    dlq_obs = None
+    clean = envelope
+    if cfg.dead_letter_dir:
+        from pyspark.sql import Observation
+
+        bad_expr = _dlq_invalid_expr(cfg)
+        flagged = envelope.withColumn("__dlq_bad", bad_expr)
+        dlq_obs = Observation(f"dlq-{run_id}-{batch_id}")
+        flagged = flagged.observe(
+            dlq_obs, F.sum(F.col("__dlq_bad").cast("long")).alias("n_bad")
+        )
+        clean = flagged.where(~F.col("__dlq_bad")).drop("__dlq_bad")
+
     dedup = lww_dedup_narrow if cfg.dedup_strategy == "narrow" else lww_dedup
     raw_winners = dedup(
-        envelope,
+        clean,
         keys=list(cfg.merge_keys),
         order_cols=list(cfg.order_cols),
         salt_buckets=cfg.salt_buckets,
@@ -121,6 +178,23 @@ def apply_batch(
         keys = discover_payload_keys(raw_winners)
         if debug:
             print(f"[apply] dedup+keys: {time.monotonic()-t_k:.1f}s")
+
+        n_dlq = 0
+        if dlq_obs is not None:
+            try:
+                # the winners job above executed the observed scan, so
+                # the metric is available without any further action
+                n_dlq = int(dlq_obs.get["n_bad"] or 0)
+            except Exception:
+                # Catalyst can optimize the observed scan away entirely
+                # (e.g. the validity filter constant-folds to false when
+                # a key column is statically null) — then no metrics row
+                # exists and .get raises; fall back to an explicit count
+                n_dlq = envelope.where(_dlq_invalid_expr(cfg)).count()
+            if n_dlq:
+                _write_dead_letters(
+                    envelope, cfg, run_id=run_id, batch_id=batch_id
+                )
 
         # per-bucket batch stats from the cached winners (bucket is a
         # pure function of the key): exact event counts + LSN ranges for
@@ -155,6 +229,7 @@ def apply_batch(
                 "reason": "empty batch",
                 "batch_id": batch_id,
                 "run_id": run_id,
+                "dlq_rows": n_dlq,
                 "apply_wall_ms": int((time.monotonic() - t0) * 1000),
             }
 
@@ -177,6 +252,7 @@ def apply_batch(
     stats["batch_id"] = batch_id
     stats["run_id"] = run_id
     stats["n_events"] = n_events
+    stats["dlq_rows"] = n_dlq
     wall_ms = int((time.monotonic() - t0) * 1000)
     stats["apply_wall_ms"] = wall_ms
 

@@ -52,6 +52,13 @@ class CdcConfig:
     #: slim winner-id agg + join-back, for very wide payloads (blobs)
     #: where shuffling the payload dominates
     dedup_strategy: str = "wide"
+    #: when set, envelope rows that cannot be merged (null key/order
+    #: fields, unparseable payload JSON) are quarantined to this
+    #: directory instead of poisoning the LWW dedup; None = legacy
+    #: flow-through. Detection rides the dedup scan via df.observe, so
+    #: the happy path stays one pass (the quarantine write job only
+    #: runs when bad rows actually exist).
+    dead_letter_dir: str | None = None
 
 
 @dataclass(frozen=True)

@@ -10,6 +10,7 @@ Package the engine and submit:
         --checkpoint /data/ckpt --lineage /data/lineage \
         [--create-table] [--num-buckets 64] [--trigger "10 seconds"] \
         [--max-files-per-trigger 100] [--salt-buckets 0]
+        [--dead-letter /data/dlq]
 
 On a cluster the session comes from spark-submit (get_spark passes a
 non-local session through untouched); locally it builds local[N].
@@ -33,6 +34,8 @@ def parse_args(argv):
     p.add_argument("--create-table", action="store_true")
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--salt-buckets", type=int, default=0)
+    p.add_argument("--dead-letter", default=None,
+                   help="quarantine dir for unmergeable envelope rows")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--trigger", default=None, help="processingTime, e.g. '10 seconds'; omit for availableNow replay")
     p.add_argument("--schema", default=(
@@ -64,7 +67,10 @@ def main(argv=None) -> int:
         table,
         args.events_dir,
         args.checkpoint,
-        cfg=CdcConfig(salt_buckets=args.salt_buckets),
+        cfg=CdcConfig(
+            salt_buckets=args.salt_buckets,
+            dead_letter_dir=args.dead_letter,
+        ),
         max_files_per_trigger=args.max_files_per_trigger,
         lineage_dir=args.lineage,
     )
