@@ -79,3 +79,69 @@ def session_window_agg(
         F.session_window(F.col(ts_col), gap).alias("window"), *group_by
     )
     return _finish(g, aggs)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    low_s: float,
+    high_s: float,
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    watermark: str = "10 minutes",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Stream-stream (or batch) inner join of rows sharing the ``on``
+    key with ``left_ts + low_s <= right_ts <= left_ts + high_s``.
+
+    On streams this is Spark's native watermarked interval join: both
+    sides get an event-time watermark and the time-range predicate is
+    part of the join condition, which is what lets the state store
+    evict a buffered row once the other side's watermark passes its
+    reach — bounded state on an unbounded stream. On batch inputs the
+    same call delegates to the bin-bucketed ``operators.temporal.
+    interval_join`` (a plain range-predicate join on batch data would
+    plan as a nested loop).
+
+    Right-side non-key columns are renamed with ``suffix`` on collision,
+    matching the batch operator's output shape.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    if not (left.isStreaming or right.isStreaming):
+        from etl_rs_spark.operators.temporal import interval_join
+
+        return interval_join(
+            left, right, on=keys, low_s=low_s, high_s=high_s,
+            left_ts=left_ts, right_ts=right_ts, suffix=suffix,
+        )
+
+    renames = {
+        c: (c + suffix if c in left.columns else c)
+        for c in right.columns
+        if c not in keys
+    }
+    l = _with_watermark(left, left_ts, watermark)
+    r = _with_watermark(
+        right.select(
+            *[F.col(k) for k in keys],
+            *[F.col(c).alias(renames[c]) for c in renames],
+        ),
+        renames[right_ts],
+        watermark,
+    )
+    r_ts_col = renames[right_ts]
+    cond = None
+    for k in keys:
+        c = l[k] == r[k]
+        cond = c if cond is None else (cond & c)
+    lo = F.col(r_ts_col) >= F.col(left_ts) + F.expr(
+        f"INTERVAL {int(low_s)} SECONDS"
+    )
+    hi = F.col(r_ts_col) <= F.col(left_ts) + F.expr(
+        f"INTERVAL {int(high_s)} SECONDS"
+    )
+    joined = l.join(r, cond & lo & hi)
+    # both key columns survive the Column-equality join; keep the left's
+    return joined.drop(*[r[k] for k in keys])

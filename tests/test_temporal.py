@@ -145,3 +145,56 @@ def test_interval_boundary_exact_at_bin_edges(spark):
     got = interval_join(left, right, on="k", low_s=-600, high_s=600)
     tags = {r.tag for r in got.collect()}
     assert tags == {"lo_edge", "hi_edge"}
+
+
+def test_stream_interval_join_matches_batch(spark, events_df, tmp_path):
+    """Watermarked stream-stream interval join drains to the same pairs
+    as the batch bin-bucketed operator on identical inputs."""
+    import uuid
+
+    from etl_rs_spark.streaming.windows import stream_interval_join
+
+    clicks = events_df.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events_df.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    clicks.write.parquet(cdir)
+    purchases.write.parquet(pdir)
+    sc = spark.readStream.schema(clicks.schema).parquet(cdir)
+    sp = spark.readStream.schema(purchases.schema).parquet(pdir)
+    out = stream_interval_join(
+        sc, sp, on="user_id", low_s=-1800, high_s=1800, watermark="1 hour"
+    )
+    qname = "ssj_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    assert q.exception() is None
+    got = (
+        spark.table(qname)
+        .select("event_id", "event_id_r")
+        .toPandas()
+        .sort_values(["event_id", "event_id_r"])
+        .reset_index(drop=True)
+    )
+    from etl_rs_spark.operators.temporal import interval_join
+
+    want = (
+        interval_join(clicks, purchases, on="user_id", low_s=-1800, high_s=1800)
+        .select("event_id", "event_id_r")
+        .toPandas()
+        .sort_values(["event_id", "event_id_r"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
