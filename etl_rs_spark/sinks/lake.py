@@ -414,6 +414,27 @@ class LakeTable:
             os.remove(os.path.join(self.meta_dir, f"version-{v:08d}.json"))
         return {"expired_versions": len(versions) - len(keep), "files_deleted": removed_files}
 
+    def vacuum_orphans(self) -> dict[str, Any]:
+        """Delete data files referenced by NO snapshot (Iceberg
+        remove_orphan_files): a writer that crashed between
+        _write_files and _commit leaves its files on disk but in no
+        manifest — invisible to readers, but they accumulate. Safe
+        against every retained snapshot (expire_snapshots first if old
+        manifests should stop pinning files)."""
+        live: set[str] = set()
+        for p in glob.glob(os.path.join(self.meta_dir, "version-*.json")):
+            v = int(p.split("version-")[1].split(".")[0])
+            live.update(f["path"] for f in self.snapshot(v).files)
+        live_abs = {os.path.abspath(x) for x in live}
+        removed = 0
+        for p in glob.glob(
+            os.path.join(self.data_dir, "**", "*.parquet"), recursive=True
+        ):
+            if os.path.abspath(p) not in live_abs:
+                os.remove(p)
+                removed += 1
+        return {"orphans_deleted": removed}
+
     def compact(
         self,
         tombstone_lsn_horizon: int | None = None,

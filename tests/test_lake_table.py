@@ -195,3 +195,33 @@ def test_manifest_stays_bounded_after_compaction(spark, tmp_path):
     snap = t.current()
     assert len(snap.files) <= snap.num_buckets
     assert t.read().count() == 12 * 8
+
+
+def test_vacuum_orphans_removes_only_unreferenced(spark, tmp_path):
+    """Files from a crashed (uncommitted) write are deleted; every
+    file referenced by any retained snapshot survives and the table
+    still reads correctly."""
+    import glob as _glob
+    import os as _os
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        "k string, v int",
+        key_cols=("k",),
+        order_cols=("v",),
+        bucket_col="k",
+        num_buckets=2,
+    )
+    t.append(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"))
+    t.append(spark.createDataFrame([("c", 3)], "k string, v int"))
+    before = set(_glob.glob(_os.path.join(t.data_dir, "**", "*.parquet"), recursive=True))
+    # simulate a crashed writer: a data file present on disk, in no manifest
+    orphan = _os.path.join(t.data_dir, "orphan-000.parquet")
+    spark.createDataFrame([("x", 9)], "k string, v int").toPandas().to_parquet(orphan)
+    stats = t.vacuum_orphans()
+    assert stats["orphans_deleted"] == 1
+    assert not _os.path.exists(orphan)
+    after = set(_glob.glob(_os.path.join(t.data_dir, "**", "*.parquet"), recursive=True))
+    assert after == before
+    assert t.read().count() == 3
