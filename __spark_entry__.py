@@ -660,6 +660,22 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-day value sums spread across one column per event
+    type (explicit pivot values keep the plan a single pass — Spark
+    needs no distinct-values pre-job). Oracle: the equivalent
+    conditional aggregation."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").cast("string")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.select(day.alias("day"), "event_type", "value")
+        .groupBy("day")
+        .pivot("event_type", kinds)
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
 # -------------------------------------------------------------- contract --
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -699,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "time_rollup": q_time_rollup,
+        "pivot_daily_values": q_pivot_daily_values,
     }
 
 
@@ -1078,6 +1095,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY ROLLUP(day, event_type)
+        """,
+        "pivot_daily_values": """
+            SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+                   round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+                   round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+                   round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+                   round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+                   round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+            FROM events
+            GROUP BY 1
         """,
         # minhash_pairs / simhash_fingerprints: intentionally no oracle
         # (engine-defined xxhash64-based hash families DuckDB cannot

@@ -198,3 +198,67 @@ def test_stream_interval_join_matches_batch(spark, events_df, tmp_path):
     )
     assert len(got) == len(want) and len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+#: adversarial asof inputs: tiny hot keyspace, colliding timestamps,
+#: keys that exist on only one side
+_left_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=0, max_value=8),  # minute bucket (collisions)
+    ),
+    min_size=1,
+    max_size=25,
+)
+_right_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "d"]),
+        st.integers(min_value=0, max_value=8),
+    ),
+    min_size=1,
+    max_size=25,
+    unique=True,  # unique (key, ts): the determinism contract
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(lrows=_left_rows, rrows=_right_rows)
+def test_asof_property_matches_merge_asof(spark, lrows, rrows):
+    """For arbitrary key/timestamp layouts (ts collisions across rows,
+    one-sided keys, equal left/right ts), asof_join == pandas
+    merge_asof. Left rows get a synthetic unique id so multiplicity is
+    checked too."""
+    left = spark.createDataFrame(
+        [(i, k, _ts(m)) for i, (k, m) in enumerate(lrows)],
+        "lid int, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, _ts(m), float(m)) for (k, m) in rrows],
+        "k string, ts timestamp, payload double",
+    )
+    got = (
+        asof_join(left, right, on="k")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.toPandas().sort_values(["ts", "lid"]),
+        right.toPandas().sort_values("ts").rename(columns={"ts": "ts_r"}),
+        left_on="ts",
+        right_on="ts_r",
+        by="k",
+        direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["lid", "k", "ts", "ts_r", "payload"]],
+        want[["lid", "k", "ts", "ts_r", "payload"]],
+        check_dtype=False,
+    )
