@@ -262,3 +262,21 @@ def test_asof_property_matches_merge_asof(spark, lrows, rrows):
         want[["lid", "k", "ts", "ts_r", "payload"]],
         check_dtype=False,
     )
+
+
+def test_asof_plan_single_shuffle(spark, trades_quotes):
+    """The asof union trick must cost ONE hash-partition exchange (by
+    key) — no join exchange, no nested loop. That single shuffle is the
+    operator's 100x-scale story."""
+    trades, quotes = trades_quotes
+    plan = (
+        asof_join(trades, quotes, on="sym")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, f"expected 1 keyed exchange, saw {n_exchange}:\n{plan}"
