@@ -676,6 +676,31 @@ def q_pivot_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed percentiles (Spark's sort-based `percentile`,
+    not the approximate t-digest percentile_approx) per event type —
+    interpolated definition matches DuckDB's quantile_cont, so the
+    values hash-match exactly after rounding."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count("value").alias("n"),
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel signup -> click -> purchase per user
+    (operators/funnel.py): greedy earliest-subsequence via k keyed
+    conditional min-aggregations — no windows, no sort. The oracle
+    mirrors the greedy exactly with correlated scalar subqueries."""
+    from etl_rs_spark.operators.funnel import funnel_counts
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_counts(e, ["signup", "click", "purchase"])
+
+
 # -------------------------------------------------------------- contract --
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -716,6 +741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "time_rollup": q_time_rollup,
         "pivot_daily_values": q_pivot_daily_values,
+        "value_percentiles": q_value_percentiles,
+        "funnel": q_funnel,
     }
 
 
@@ -1105,6 +1132,42 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
             FROM events
             GROUP BY 1
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99,
+                   count(value) AS n
+            FROM events GROUP BY event_type
+        """,
+        # greedy earliest-subsequence funnel: s1 = first signup, s2 =
+        # first click after s1, s3 = first purchase after s2
+        "funnel": """
+            WITH t AS (
+                SELECT user_id,
+                       min(ts) FILTER (event_type = 'signup') AS s1
+                FROM events GROUP BY user_id
+            ), t2 AS (
+                SELECT t.user_id, t.s1,
+                       (SELECT min(e.ts) FROM events e
+                        WHERE e.user_id = t.user_id
+                          AND e.event_type = 'click' AND e.ts > t.s1) AS s2
+                FROM t
+            ), t3 AS (
+                SELECT t2.*,
+                       (SELECT min(e.ts) FROM events e
+                        WHERE e.user_id = t2.user_id
+                          AND e.event_type = 'purchase' AND e.ts > t2.s2) AS s3
+                FROM t2
+            )
+            SELECT stage_idx, stage, n_keys FROM (
+                SELECT 1 AS stage_idx, 'signup' AS stage, count(s1) AS n_keys FROM t3
+                UNION ALL
+                SELECT 2, 'click', count(s2) FROM t3
+                UNION ALL
+                SELECT 3, 'purchase', count(s3) FROM t3
+            )
         """,
         # minhash_pairs / simhash_fingerprints: intentionally no oracle
         # (engine-defined xxhash64-based hash families DuckDB cannot
