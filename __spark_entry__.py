@@ -701,6 +701,55 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(e, ["signup", "click", "purchase"])
 
 
+def q_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end table CDC under the oracle: events become a change
+    envelope (user_id key, error=delete), TWO real merges into a fresh
+    LakeTable, then ``table.changes(v1)`` — the change-data-feed read —
+    returns the NET changes the second batch caused. The oracle mirrors
+    it as: LWW winner per key over ALL events, kept only when the
+    winning LSN is beyond batch 1's high-water mark. Exercises merge,
+    tombstones, per-row LSN retention, snapshot watermarks and the
+    metadata-pruned CDF scan in one hash-checked query."""
+    import tempfile
+
+    from etl_rs_spark.cdc.apply import apply_batch
+    from etl_rs_spark.config import CdcConfig
+    from etl_rs_spark.sinks.lake import LakeTable
+
+    e = _t(spark, sf_dir, "events")
+    env = e.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.to_json(F.struct(F.round("value", 2).alias("value"))).alias("payload"),
+    )
+    split = int(e.agg(F.max("event_id")).first()[0]) // 2
+    work = tempfile.mkdtemp(prefix="cdf-entry-")
+    cfg = CdcConfig(num_buckets=8)
+    t = LakeTable.create(
+        spark,
+        f"{work}/t",
+        "conv_id string, turn_idx int, value string, ts timestamp",
+        num_buckets=8,
+    )
+    apply_batch(t, env.where(F.col("lsn") <= split), batch_id=0, run_id="cdf", cfg=cfg)
+    v1 = t.current().version
+    apply_batch(t, env.where(F.col("lsn") > split), batch_id=1, run_id="cdf", cfg=cfg)
+    feed = t.changes(v1)
+    return feed.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.when(F.col("_change_type") == "delete", F.lit(None))
+        .otherwise(F.col("value").cast("double"))
+        .alias("value"),
+        "_change_type",
+        "_lsn",
+    )
+
+
 # -------------------------------------------------------------- contract --
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -743,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_daily_values": q_pivot_daily_values,
         "value_percentiles": q_value_percentiles,
         "funnel": q_funnel,
+        "change_data_feed": q_change_data_feed,
     }
 
 
@@ -1168,6 +1218,26 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 3, 'purchase', count(s3) FROM t3
             )
+        """,
+        "change_data_feed": """
+            WITH w AS (
+                SELECT user_id, event_id AS lsn,
+                       CASE WHEN event_type = 'error'
+                            THEN 'delete' ELSE 'upsert' END AS _change_type,
+                       round(value, 2) AS value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ), split AS (
+                SELECT max(event_id) // 2 AS wm FROM events
+            )
+            SELECT user_id,
+                   CASE WHEN _change_type = 'delete' THEN NULL
+                        ELSE value END AS value,
+                   _change_type,
+                   lsn AS _lsn
+            FROM w, split
+            WHERE rn = 1 AND lsn > wm
         """,
         # minhash_pairs / simhash_fingerprints: intentionally no oracle
         # (engine-defined xxhash64-based hash families DuckDB cannot

@@ -262,6 +262,36 @@ class LakeTable:
             LSN_COL, DELETED_COL
         )
 
+    def changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed: the NET row-level changes between two
+        snapshots — (payload columns, _change_type in upsert|delete,
+        _lsn). A row whose key was touched several times in the window
+        appears once with its final state (net semantics, like Iceberg's
+        changelog scan / Delta CDF with coalesced changes).
+
+        Mechanics: every merged row carries the LSN of its winning
+        event, and each snapshot records the high-water LSN applied up
+        to it — so the feed is a metadata-pruned scan of the target
+        snapshot filtered to ``_lsn > watermark(from_version)``. Cost is
+        O(target snapshot scan), no per-version diffing, no join;
+        tombstones surface as deletes. Covers rows written through
+        ``merge`` (the CDC path — appends without an lsn column carry
+        _lsn=-1 and never appear)."""
+        frm = self.snapshot(from_version)
+        df = self.read(version=to_version, include_meta=True)
+        changed = df.where(F.col(LSN_COL) > frm.watermark_lsn)
+        return changed.select(
+            *[c for c in df.columns if c not in (LSN_COL, DELETED_COL)],
+            F.when(
+                F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("delete")
+            )
+            .otherwise(F.lit("upsert"))
+            .alias("_change_type"),
+            F.col(LSN_COL).alias("_lsn"),
+        )
+
     # ----------------------------------------------------------- writes --
     def _cores(self) -> int:
         return int(self.spark.conf.get("spark.sql.shuffle.partitions", "16"))

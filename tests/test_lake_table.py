@@ -225,3 +225,51 @@ def test_vacuum_orphans_removes_only_unreferenced(spark, tmp_path):
     after = set(_glob.glob(_os.path.join(t.data_dir, "**", "*.parquet"), recursive=True))
     assert after == before
     assert t.read().count() == 3
+
+
+def test_changes_feed_net_semantics(spark, tmp_path):
+    """changes(v) returns exactly the keys whose state changed after v:
+    updates/inserts as upsert with final state, deletes as delete; keys
+    untouched since v (or re-sent with losing events) never appear."""
+    from etl_rs_spark.cdc.apply import apply_batch
+    from etl_rs_spark.config import CdcConfig
+    from etl_rs_spark.generator import gen_change_stream, to_envelope
+
+    cfg = CdcConfig(num_buckets=4)
+    ddl = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl, num_buckets=4)
+    ev = to_envelope(
+        gen_change_stream(spark, n_events=600, n_convs=30, turns_per_conv=6, seed=3)
+    )
+    apply_batch(t, ev.where(F.col("lsn") < 400), batch_id=0, run_id="r", cfg=cfg)
+    v1 = t.current().version
+    apply_batch(t, ev.where(F.col("lsn") >= 400), batch_id=1, run_id="r", cfg=cfg)
+
+    feed = t.changes(v1).toPandas()
+    assert len(feed) > 0
+    # every feed row's lsn is beyond v1's watermark
+    assert (feed._lsn > t.snapshot(v1).watermark_lsn).all()
+
+    # reconstruct: state(v1) + feed == state(current), key-wise
+    import pandas as pd
+
+    old = t.read(version=v1).toPandas()
+    new = t.read().toPandas()
+    key = ["conv_id", "turn_idx"]
+    up = feed[feed._change_type == "upsert"].drop(columns=["_change_type", "_lsn"])
+    dl = feed[feed._change_type == "delete"][key]
+    rebuilt = (
+        pd.concat([old.merge(feed[key].drop_duplicates(), on=key, how="left", indicator=True)
+                      .query("_merge == 'left_only'").drop(columns="_merge"),
+                   up], ignore_index=True)
+    )
+    a = rebuilt.sort_values(key).reset_index(drop=True)[sorted(rebuilt.columns)]
+    b = new.sort_values(key).reset_index(drop=True)[sorted(new.columns)]
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(a, b, check_dtype=False)
+    # deleted keys are absent from the new state
+    assert new.merge(dl, on=key, how="inner").empty
