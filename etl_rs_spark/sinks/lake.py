@@ -212,13 +212,35 @@ class LakeTable:
         return lo
 
     def _commit(self, snap: Snapshot) -> None:
+        """Commit with lost-update detection (optimistic concurrency):
+        the snapshot targets version N+1 derived from the HEAD this
+        writer read; if HEAD has meanwhile advanced to or past N+1 —
+        another writer won the slot — this commit LOSES and raises
+        (its data files stay orphaned; vacuum_orphans reclaims them).
+        A version FILE without a HEAD swing is crashed-writer residue,
+        not a competitor (HEAD is the only publish point), so it is
+        replaced atomically and recovery proceeds. The StreamDriver's
+        (run_id, batch_id) idempotence log makes retry-after-conflict
+        safe on the CDC path."""
         if snap.committed_at_ms < 0:
             snap.committed_at_ms = int(time.time() * 1000)
+        head = os.path.join(self.meta_dir, "HEAD")
+        if os.path.exists(head):
+            with open(head) as f:
+                published = int(f.read().strip())
+            if published >= snap.version:
+                raise LoadError(
+                    f"concurrent commit conflict: HEAD is at version "
+                    f"{published}, this writer derived version "
+                    f"{snap.version} from a stale snapshot; re-read and retry"
+                )
         vpath = os.path.join(self.meta_dir, f"version-{snap.version:08d}.json")
-        with open(vpath, "w") as f:
+        vtmp = os.path.join(self.meta_dir, f".version.{uuid.uuid4().hex}")
+        with open(vtmp, "w") as f:
             f.write(snap.to_json())
             f.flush()
             os.fsync(f.fileno())
+        os.replace(vtmp, vpath)
         tmp = os.path.join(self.meta_dir, f".HEAD.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(snap.version))

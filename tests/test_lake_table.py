@@ -273,3 +273,33 @@ def test_changes_feed_net_semantics(spark, tmp_path):
     pdt.assert_frame_equal(a, b, check_dtype=False)
     # deleted keys are absent from the new state
     assert new.merge(dl, on=key, how="inner").empty
+
+
+def test_commit_conflict_detected(spark, tmp_path):
+    """A commit whose snapshot was derived from a stale HEAD (its
+    target version is at or behind the published one) must raise
+    instead of silently losing the winner's update. Exercised on
+    _commit directly: the public write paths re-read HEAD, so the
+    guard protects the read->publish race window inside them."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    t.append(_df(spark, 4))  # publishes version 1
+    stale = t.current()  # pretend a slow writer derived v1 from v0 too
+    with pytest.raises(LoadError, match="conflict"):
+        t._commit(stale)
+    assert t.current().version == 1
+    assert t.read().count() == 4  # the winner's data is intact
+
+
+def test_commit_crash_residue_recovers(spark, tmp_path):
+    """A version file WITHOUT a HEAD swing (crashed writer) must not
+    block the slot: the next commit replaces it and publishes."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    t.append(_df(spark, 4))
+    v = t.current().version
+    orphan = t.current()
+    orphan.version = v + 1
+    with open(os.path.join(t.meta_dir, f"version-{v+1:08d}.json"), "w") as f:
+        f.write(orphan.to_json())
+    t.append(_df(spark, 2))  # claims v+1 over the residue
+    assert t.current().version == v + 1
+    assert t.read().count() == 6
