@@ -108,3 +108,36 @@ def test_all_bad_batch_is_empty_but_quarantined(spark, tmp_path, envelope):
     assert stats.get("skipped") and stats["dlq_rows"] == envelope.count()
     assert spark.read.parquet(dlq).count() == envelope.count()
     assert table.read().count() == 0
+
+
+def test_dlq_through_stream_driver(spark, tmp_path, envelope):
+    """End-to-end: a binlog containing corrupt rows streams through
+    StreamDriver; bad rows land in the DLQ, good rows reach the table,
+    and the final state equals the valid-only replay."""
+    from etl_rs_spark.cdc.stream import StreamDriver
+    from etl_rs_spark.generator import write_event_files
+
+    dlq = str(tmp_path / "dlq")
+    corrupted = _corrupt(envelope)
+    write_event_files(corrupted, str(tmp_path / "binlog"), n_files=4)
+    table = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=4)
+    stats = StreamDriver(
+        spark,
+        table,
+        str(tmp_path / "binlog"),
+        str(tmp_path / "ckpt"),
+        cfg=CdcConfig(num_buckets=4, dead_letter_dir=dlq),
+    ).run_available_now()
+    assert sum(s.get("dlq_rows", 0) for s in stats) == 5
+    assert spark.read.parquet(dlq).count() == 5
+
+    clean_table = LakeTable.create(spark, str(tmp_path / "t2"), DDL, num_buckets=4)
+    valid = corrupted.where(
+        F.col("conv_id").isNotNull() & ~F.col("lsn").isin(10, 11)
+    )
+    apply_batch(clean_table, valid, batch_id=0, run_id="r", cfg=CdcConfig(num_buckets=4))
+    import pandas.testing as pdt
+
+    a = table.read().orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    b = clean_table.read().orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    pdt.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False)
