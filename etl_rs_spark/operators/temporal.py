@@ -32,10 +32,12 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 _TAG = "__asof_is_left"
 _TS = "__asof_ts"
+_CARRY = "__asof_carry"
 
 
 def asof_join(
@@ -59,6 +61,12 @@ def asof_join(
     (key, ts) are not ordered with respect to each other — pre-aggregate
     the right side to one row per (key, ts) for determinism (same
     contract as DuckDB's ASOF JOIN).
+
+    The whole matched right row travels as ONE struct through a single
+    ``last(ignorenulls=True)`` — never per-column — so a NULL in one
+    payload column stays NULL on the matched row instead of being
+    backfilled from an older right row (a composite row that never
+    existed).
     """
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
@@ -70,21 +78,26 @@ def asof_join(
         c: (c + suffix if c in left.columns else c) for c in payload
     }
     rts_out = right_ts + suffix
+    carry_type = StructType(
+        [StructField(rts_out, right.schema[right_ts].dataType)]
+        + [StructField(out_names[c], right.schema[c].dataType) for c in payload]
+    )
 
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias(_TS),
         F.lit(1).alias(_TAG),
-        F.lit(None).cast("timestamp").alias(rts_out),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c]) for c in payload],
+        F.lit(None).cast(carry_type).alias(_CARRY),
     )
     r_tag = right.select(
         *[F.col(k) for k in keys],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_TAG),
-        F.col(right_ts).alias(rts_out),
-        *[F.col(c).alias(out_names[c]) for c in payload],
+        F.struct(
+            F.col(right_ts).alias(rts_out),
+            *[F.col(c).alias(out_names[c]) for c in payload],
+        ).alias(_CARRY),
     ).select(*l_tag.columns)
 
     # backward: ascending scan, right rows sort BEFORE left at equal ts
@@ -100,13 +113,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tag.unionByName(r_tag).select(
-        *[c for c in l_tag.columns if c not in (rts_out, *out_names.values())],
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
-            for c in (rts_out, *out_names.values())
-        ],
+        *[c for c in l_tag.columns if c != _CARRY],
+        F.last(F.col(_CARRY), ignorenulls=True).over(w).alias(_CARRY),
     )
-    return carried.where(F.col(_TAG) == 1).drop(_TAG, _TS)
+    return carried.where(F.col(_TAG) == 1).select(
+        *[F.col(c) for c in left.columns],
+        F.col(_CARRY).getField(rts_out).alias(rts_out),
+        *[F.col(_CARRY).getField(out_names[c]).alias(out_names[c]) for c in payload],
+    )
 
 
 def interval_join(

@@ -136,11 +136,13 @@ def stream_interval_join(
     for k in keys:
         c = l[k] == r[k]
         cond = c if cond is None else (cond & c)
+    # microsecond-exact bounds, matching the batch interval_join (a
+    # plain int(low_s) truncates 0.5s -> 0 and drifts the window)
     lo = F.col(r_ts_col) >= F.col(left_ts) + F.expr(
-        f"INTERVAL {int(low_s)} SECONDS"
+        f"INTERVAL {int(round(low_s * 1_000_000))} MICROSECONDS"
     )
     hi = F.col(r_ts_col) <= F.col(left_ts) + F.expr(
-        f"INTERVAL {int(high_s)} SECONDS"
+        f"INTERVAL {int(round(high_s * 1_000_000))} MICROSECONDS"
     )
     joined = l.join(r, cond & lo & hi)
     # both key columns survive the Column-equality join; keep the left's

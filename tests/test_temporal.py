@@ -104,6 +104,56 @@ def test_asof_suffixes_colliding_payload(spark):
     assert row.v == 1.0 and row.v_r == 2.0
 
 
+def test_asof_null_payload_travels_with_its_row(spark):
+    """A NULL payload column on the MATCHED right row must stay NULL —
+    not be backfilled from an older right row (which would fabricate a
+    composite row that never existed)."""
+    left = spark.createDataFrame(
+        [("k", _ts(10))], "k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", _ts(0), 1.0, "old"),
+            ("k", _ts(5), None, "new"),  # matched row: a IS NULL
+        ],
+        "k string, ts timestamp, a double, b string",
+    )
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row.ts_r == _ts(5) and row.b == "new"
+    assert row.a is None, (
+        f"NULL payload was backfilled from an older right row: a={row.a}"
+    )
+
+
+def test_asof_null_payload_forward_direction(spark):
+    left = spark.createDataFrame([("k", _ts(0))], "k string, ts timestamp")
+    right = spark.createDataFrame(
+        [
+            ("k", _ts(5), None, "near"),  # matched (smallest ts >= left)
+            ("k", _ts(9), 2.0, "far"),
+        ],
+        "k string, ts timestamp, a double, b string",
+    )
+    row = asof_join(left, right, on="k", direction="forward").collect()[0]
+    assert row.ts_r == _ts(5) and row.b == "near" and row.a is None
+
+
+def test_asof_non_timestamp_ts_types(spark):
+    """Epoch-long timestamps: the matched-ts output column keeps the
+    right side's dtype instead of a hardcoded timestamp cast."""
+    left = spark.createDataFrame(
+        [("k", 100), ("k", 5)], "k string, ts bigint"
+    )
+    right = spark.createDataFrame(
+        [("k", 10, 1.5), ("k", 90, 2.5)], "k string, ts bigint, v double"
+    )
+    out = asof_join(left, right, on="k")
+    assert out.schema["ts_r"].dataType.simpleString() == "bigint"
+    by_ts = {r.ts: r for r in out.collect()}
+    assert by_ts[100].ts_r == 90 and by_ts[100].v == 2.5
+    assert by_ts[5].ts_r is None and by_ts[5].v is None
+
+
 def test_interval_join_exact_vs_bruteforce(spark, events_df):
     left = events_df.where(F.col("event_type") == "click")
     right = events_df.where(F.col("event_type") == "purchase")
@@ -198,6 +248,57 @@ def test_stream_interval_join_matches_batch(spark, events_df, tmp_path):
     )
     assert len(got) == len(want) and len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_interval_join_fractional_seconds(spark, tmp_path):
+    """Sub-second bounds must not be truncated toward zero: with
+    low_s=-0.5/high_s=0.5, a right row 400ms away is in-window and one
+    700ms away is not — same as the microsecond-exact batch operator."""
+    import uuid
+
+    from etl_rs_spark.operators.temporal import interval_join
+    from etl_rs_spark.streaming.windows import stream_interval_join
+
+    left = spark.createDataFrame(
+        [("L1", "k", _ts(10))], "event_id string, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("R_in", "k", _ts(10) + dt.timedelta(milliseconds=400)),
+            ("R_out", "k", _ts(10) + dt.timedelta(milliseconds=700)),
+            ("R_in2", "k", _ts(10) - dt.timedelta(milliseconds=500)),
+        ],
+        "event_id string, k string, ts timestamp",
+    )
+    cdir, pdir = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(cdir)
+    right.write.parquet(pdir)
+    sl = spark.readStream.schema(left.schema).parquet(cdir)
+    sr = spark.readStream.schema(right.schema).parquet(pdir)
+    out = stream_interval_join(
+        sl, sr, on="k", low_s=-0.5, high_s=0.5, watermark="10 seconds"
+    )
+    qname = "ssjf_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    assert q.exception() is None
+    got = {r.event_id_r for r in spark.table(qname).collect()}
+    assert got == {"R_in", "R_in2"}
+    want = {
+        r.event_id_r
+        for r in interval_join(
+            left, right, on="k", low_s=-0.5, high_s=0.5
+        ).collect()
+    }
+    assert got == want
 
 
 from hypothesis import HealthCheck, given, settings
