@@ -64,15 +64,36 @@ _BUCKET = "__b"
 _OP = "op"
 
 
-def _footer_rows(path: str) -> int:
-    """Row count from the parquet footer — no data read."""
+def _footer_stats(path: str) -> dict[str, Any]:
+    """Row count and min/max ``_lsn`` from the parquet footer — no data
+    read. The LSN range feeds the manifest so incremental readers
+    (``changes()``) can skip whole files below the watermark, the same
+    role Iceberg's per-file column stats play in metadata pruning. Files
+    whose footer lacks LSN statistics get None (never pruned)."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(path).metadata.num_rows
+    md = pq.ParquetFile(path).metadata
+    mn: int | None = None
+    mx: int | None = None
+    seen = False
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            col = rg.column(i)
+            if col.path_in_schema == LSN_COL:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    return {"rows": md.num_rows, "min_lsn": None, "max_lsn": None}
+                seen = True
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+    if not seen:
+        mn = mx = None
+    return {"rows": md.num_rows, "min_lsn": mn, "max_lsn": mx}
 
 
-def _footer_rows_many(paths: list[str]) -> dict[str, int]:
-    """Footer row counts for many files, read concurrently — keeps the
+def _footer_stats_many(paths: list[str]) -> dict[str, dict[str, Any]]:
+    """Footer stats for many files, read concurrently — keeps the
     per-commit driver bookkeeping O(1) wall-clock in the file count
     instead of a serial per-file loop."""
     if not paths:
@@ -80,7 +101,7 @@ def _footer_rows_many(paths: list[str]) -> dict[str, int]:
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
-        return dict(zip(paths, ex.map(_footer_rows, paths)))
+        return dict(zip(paths, ex.map(_footer_stats, paths)))
 
 
 def _with_meta_cols(schema: T.StructType) -> T.StructType:
@@ -108,7 +129,9 @@ class Snapshot:
     order_cols: list[str]
     bucket_col: str
     num_buckets: int
-    files: list[dict[str, Any]] = field(default_factory=list)  # {path, bucket}
+    #: {path, bucket, rows, min_lsn, max_lsn} — the LSN range is the
+    #: per-file stat that lets changes() prune below-watermark files
+    files: list[dict[str, Any]] = field(default_factory=list)
     applied: dict[str, int] = field(default_factory=dict)  # run_id -> max batch
     watermark_lsn: int = -1
     props: dict[str, Any] = field(default_factory=dict)
@@ -211,17 +234,30 @@ class LakeTable:
                 hi = mid - 1
         return lo
 
+    #: a version file claimed (created) but never published (HEAD swung)
+    #: is treated as crashed-writer residue only once this old; younger
+    #: claims are presumed to belong to a live competitor mid-commit.
+    STALE_CLAIM_S: float = 60.0
+
     def _commit(self, snap: Snapshot) -> None:
-        """Commit with lost-update detection (optimistic concurrency):
+        """Commit with an ATOMIC slot claim (optimistic concurrency):
         the snapshot targets version N+1 derived from the HEAD this
-        writer read; if HEAD has meanwhile advanced to or past N+1 —
-        another writer won the slot — this commit LOSES and raises
-        (its data files stay orphaned; vacuum_orphans reclaims them).
-        A version FILE without a HEAD swing is crashed-writer residue,
-        not a competitor (HEAD is the only publish point), so it is
-        replaced atomically and recovery proceeds. The StreamDriver's
-        (run_id, batch_id) idempotence log makes retry-after-conflict
-        safe on the CDC path."""
+        writer read. The version file itself is the put-if-absent
+        arbiter — it is hard-linked into place (``os.link``, fails with
+        EEXIST if the slot is taken), so of two writers racing the same
+        slot exactly one creates it and the loser raises BEFORE touching
+        HEAD (its data files stay orphaned; vacuum_orphans reclaims
+        them). The prior check-then-act HEAD comparison survives only as
+        a fast-path error message.
+
+        Crashed-writer recovery: a version file without a HEAD swing is
+        residue, but it is indistinguishable in content from a live
+        competitor's claim-in-flight — so a claim is only recycled once
+        it is older than ``STALE_CLAIM_S`` AND HEAD is still behind it.
+        Recovery unlinks the stale claim and retries the link, so two
+        concurrent recoverers still resolve to exactly one winner. The
+        StreamDriver's (run_id, batch_id) idempotence log makes
+        retry-after-conflict safe on the CDC path."""
         if snap.committed_at_ms < 0:
             snap.committed_at_ms = int(time.time() * 1000)
         head = os.path.join(self.meta_dir, "HEAD")
@@ -240,13 +276,61 @@ class LakeTable:
             f.write(snap.to_json())
             f.flush()
             os.fsync(f.fileno())
-        os.replace(vtmp, vpath)
+        try:
+            self._claim_slot(vtmp, vpath, snap.version)
+        finally:
+            if os.path.exists(vtmp):
+                os.remove(vtmp)
         tmp = os.path.join(self.meta_dir, f".HEAD.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(snap.version))
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.meta_dir, "HEAD"))  # atomic swing
+
+    def _claim_slot(self, vtmp: str, vpath: str, version: int) -> None:
+        """Link the fully-written manifest into the version slot; the
+        exclusive create is the commit arbiter."""
+        try:
+            os.link(vtmp, vpath)
+            return
+        except FileExistsError:
+            pass
+        # slot taken: published competitor, live claim, or crashed residue
+        head = os.path.join(self.meta_dir, "HEAD")
+        published = -1
+        if os.path.exists(head):
+            with open(head) as f:
+                published = int(f.read().strip())
+        if published >= version:
+            raise LoadError(
+                f"concurrent commit conflict: version {version} was "
+                f"published by another writer (HEAD={published}); "
+                f"re-read and retry"
+            )
+        try:
+            age_s = time.time() - os.path.getmtime(vpath)
+        except FileNotFoundError:
+            age_s = float("inf")  # claimant vanished; retry the link below
+        if age_s <= self.STALE_CLAIM_S:
+            raise LoadError(
+                f"concurrent commit conflict: version {version} is "
+                f"claimed by an in-flight writer ({age_s:.1f}s old, "
+                f"stale after {self.STALE_CLAIM_S}s); re-read and retry"
+            )
+        # stale residue: recycle the slot. unlink-then-link keeps the
+        # arbiter exclusive even if two recoverers race — one link wins.
+        try:
+            os.unlink(vpath)
+        except FileNotFoundError:
+            pass
+        try:
+            os.link(vtmp, vpath)
+        except FileExistsError:
+            raise LoadError(
+                f"concurrent commit conflict: version {version} was "
+                f"re-claimed by a competing recoverer; re-read and retry"
+            ) from None
 
     # ------------------------------------------------------------ reads --
     def read(
@@ -295,15 +379,30 @@ class LakeTable:
 
         Mechanics: every merged row carries the LSN of its winning
         event, and each snapshot records the high-water LSN applied up
-        to it — so the feed is a metadata-pruned scan of the target
-        snapshot filtered to ``_lsn > watermark(from_version)``. Cost is
-        O(target snapshot scan), no per-version diffing, no join;
-        tombstones surface as deletes. Covers rows written through
+        to it — so the feed is ``_lsn > watermark(from_version)`` over
+        the target snapshot, with METADATA PRUNING first: the manifest
+        stores each file's max_lsn (parquet footer stats captured at
+        write time), so files wholly at or below the watermark are never
+        opened. An increment that touched 1 of N buckets reads only that
+        bucket's rewritten files — O(changed data), not O(table).
+        Tombstones surface as deletes. Covers rows written through
         ``merge`` (the CDC path — appends without an lsn column carry
-        _lsn=-1 and never appear)."""
+        _lsn=-1 and never appear). Files from pre-stats manifests (no
+        max_lsn key) are conservatively read."""
         frm = self.snapshot(from_version)
-        df = self.read(version=to_version, include_meta=True)
-        changed = df.where(F.col(LSN_COL) > frm.watermark_lsn)
+        wm = frm.watermark_lsn
+        snap = self.current() if to_version is None else self.snapshot(to_version)
+        files = [
+            f
+            for f in snap.files
+            if f.get("max_lsn") is None or f["max_lsn"] > wm
+        ]
+        schema = _with_meta_cols(snap.schema())
+        if files:
+            df = self.spark.read.schema(schema).parquet(*[f["path"] for f in files])
+        else:
+            df = self.spark.createDataFrame([], schema)
+        changed = df.where(F.col(LSN_COL) > wm)
         return changed.select(
             *[c for c in df.columns if c not in (LSN_COL, DELETED_COL)],
             F.when(
@@ -369,7 +468,7 @@ class LakeTable:
         shuffled.write.partitionBy(_BUCKET).mode("overwrite").parquet(commit_dir)
         t_f = time.monotonic()
         paths = glob.glob(os.path.join(commit_dir, f"{_BUCKET}=*", "*.parquet"))
-        rows = _footer_rows_many(paths)
+        stats = _footer_stats_many(paths)
         if os.environ.get("ETL_DEBUG_MERGE"):
             print(
                 f"[write] job: {t_f-t_w:.1f}s footers({len(paths)}): "
@@ -378,7 +477,7 @@ class LakeTable:
         out = []
         for p in paths:
             b = int(p.split(f"{_BUCKET}=")[1].split(os.sep)[0])
-            out.append({"path": p, "bucket": b, "rows": rows[p]})
+            out.append({"path": p, "bucket": b, **stats[p]})
         return out
 
     def _with_bucket(self, df: DataFrame, snap: Snapshot) -> DataFrame:
@@ -466,26 +565,41 @@ class LakeTable:
             os.remove(os.path.join(self.meta_dir, f"version-{v:08d}.json"))
         return {"expired_versions": len(versions) - len(keep), "files_deleted": removed_files}
 
-    def vacuum_orphans(self) -> dict[str, Any]:
+    def vacuum_orphans(self, older_than_s: float = 3 * 3600) -> dict[str, Any]:
         """Delete data files referenced by NO snapshot (Iceberg
         remove_orphan_files): a writer that crashed between
         _write_files and _commit leaves its files on disk but in no
         manifest — invisible to readers, but they accumulate. Safe
         against every retained snapshot (expire_snapshots first if old
-        manifests should stop pinning files)."""
+        manifests should stop pinning files).
+
+        ``older_than_s`` skips unreferenced files younger than the
+        threshold: an IN-FLIGHT writer between _write_files and _commit
+        has exactly such files on disk, and deleting them would corrupt
+        its imminent commit (Iceberg's remove_orphan_files defaults to
+        older-than-3-days for the same reason). Pass 0 only when no
+        writer can be running."""
         live: set[str] = set()
         for p in glob.glob(os.path.join(self.meta_dir, "version-*.json")):
             v = int(p.split("version-")[1].split(".")[0])
             live.update(f["path"] for f in self.snapshot(v).files)
         live_abs = {os.path.abspath(x) for x in live}
-        removed = 0
+        removed = skipped_young = 0
+        cutoff = time.time() - older_than_s
         for p in glob.glob(
             os.path.join(self.data_dir, "**", "*.parquet"), recursive=True
         ):
-            if os.path.abspath(p) not in live_abs:
+            if os.path.abspath(p) in live_abs:
+                continue
+            try:
+                if os.path.getmtime(p) > cutoff:
+                    skipped_young += 1
+                    continue
                 os.remove(p)
                 removed += 1
-        return {"orphans_deleted": removed}
+            except FileNotFoundError:
+                pass
+        return {"orphans_deleted": removed, "skipped_young": skipped_young}
 
     def compact(
         self,

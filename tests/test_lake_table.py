@@ -219,7 +219,12 @@ def test_vacuum_orphans_removes_only_unreferenced(spark, tmp_path):
     # simulate a crashed writer: a data file present on disk, in no manifest
     orphan = _os.path.join(t.data_dir, "orphan-000.parquet")
     spark.createDataFrame([("x", 9)], "k string, v int").toPandas().to_parquet(orphan)
+    # default age threshold protects a possibly in-flight writer's
+    # fresh files: the young orphan is skipped, not deleted
     stats = t.vacuum_orphans()
+    assert stats["orphans_deleted"] == 0 and stats["skipped_young"] == 1
+    assert _os.path.exists(orphan)
+    stats = t.vacuum_orphans(older_than_s=0)
     assert stats["orphans_deleted"] == 1
     assert not _os.path.exists(orphan)
     after = set(_glob.glob(_os.path.join(t.data_dir, "**", "*.parquet"), recursive=True))
@@ -291,15 +296,107 @@ def test_commit_conflict_detected(spark, tmp_path):
 
 
 def test_commit_crash_residue_recovers(spark, tmp_path):
-    """A version file WITHOUT a HEAD swing (crashed writer) must not
-    block the slot: the next commit replaces it and publishes."""
+    """A STALE version file without a HEAD swing (crashed writer) must
+    not block the slot: the next commit recycles it and publishes."""
     t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
     t.append(_df(spark, 4))
     v = t.current().version
     orphan = t.current()
     orphan.version = v + 1
-    with open(os.path.join(t.meta_dir, f"version-{v+1:08d}.json"), "w") as f:
+    vpath = os.path.join(t.meta_dir, f"version-{v+1:08d}.json")
+    with open(vpath, "w") as f:
         f.write(orphan.to_json())
-    t.append(_df(spark, 2))  # claims v+1 over the residue
+    # age the residue past the claim-staleness window (a real crashed
+    # writer's file is old by the time anyone recommits)
+    old = __import__("time").time() - t.STALE_CLAIM_S - 10
+    os.utime(vpath, (old, old))
+    t.append(_df(spark, 2))  # claims v+1 over the stale residue
     assert t.current().version == v + 1
     assert t.read().count() == 6
+
+
+def test_commit_slot_claim_is_atomic(spark, tmp_path):
+    """Two-writer interleaving: writer B passes the HEAD fast-path
+    check, but writer A has already claimed the version slot (file
+    created, HEAD not yet swung). B must lose at the claim — NOT
+    os.replace A's manifest — and after A publishes, exactly A's commit
+    survives."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    t.append(_df(spark, 4))
+    snap = t.current()
+
+    # writer A: mid-commit — slot claimed (fresh file), HEAD not swung
+    a = t.current()
+    a.version = snap.version + 1
+    a.committed_at_ms = 0
+    vpath = os.path.join(t.meta_dir, f"version-{a.version:08d}.json")
+    with open(vpath, "w") as f:
+        f.write(a.to_json())
+    a_bytes = open(vpath).read()
+
+    # writer B: derived the same target version from the same HEAD;
+    # the old HEAD check alone would let it clobber A's claim
+    b = t.current()
+    b.version = snap.version + 1
+    with pytest.raises(LoadError, match="conflict"):
+        t._commit(b)
+    assert open(vpath).read() == a_bytes  # A's manifest untouched
+    assert t.current().version == snap.version  # HEAD untouched
+
+    # writer A completes its publish: exactly one commit survives
+    head_tmp = os.path.join(t.meta_dir, ".HEAD.finish")
+    with open(head_tmp, "w") as f:
+        f.write(str(a.version))
+    os.replace(head_tmp, os.path.join(t.meta_dir, "HEAD"))
+    assert t.current().version == a.version
+
+    # and a retry by B now fails on the fast path too
+    with pytest.raises(LoadError, match="conflict"):
+        t._commit(b)
+
+
+def test_changes_feed_prunes_untouched_files(spark, tmp_path):
+    """After a merge touching 1 of the table's buckets, changes(v)
+    must open ONLY the files rewritten by that merge — the manifest's
+    per-file max_lsn excludes every below-watermark file from the
+    scan."""
+    from etl_rs_spark.cdc.apply import apply_batch
+    from etl_rs_spark.config import CdcConfig
+
+    cfg = CdcConfig(num_buckets=8)
+    ddl = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl, num_buckets=8)
+    ts = __import__("datetime").datetime(2024, 1, 1)
+    wide = spark.createDataFrame(
+        [(i, "U", f"c{i}", 0, ts, '{"text": "x"}') for i in range(64)],
+        "lsn long, op string, conv_id string, turn_idx int, ts timestamp, payload string",
+    )
+    apply_batch(t, wide, batch_id=0, run_id="r", cfg=cfg)
+    v1 = t.current().version
+    narrow = spark.createDataFrame(
+        [(100, "U", "c0", 0, ts, '{"text": "y"}')],
+        "lsn long, op string, conv_id string, turn_idx int, ts timestamp, payload string",
+    )
+    apply_batch(t, narrow, batch_id=1, run_id="r", cfg=cfg)
+
+    new_files = {
+        os.path.abspath(f["path"])
+        for f in t.current().files
+        if f.get("max_lsn") is not None and f["max_lsn"] > t.snapshot(v1).watermark_lsn
+    }
+    total_files = len(t.current().files)
+    feed = t.changes(v1)
+    opened = {os.path.abspath(p.replace("file:", "")) for p in feed.inputFiles()}
+    assert opened, "feed scanned no files"
+    assert opened <= new_files, f"feed opened pruned files: {opened - new_files}"
+    assert len(opened) < total_files  # strictly fewer than the snapshot
+    rows = feed.collect()
+    assert {r.conv_id for r in rows} == {"c0"}
+    # manifest carries per-file lsn ranges for every merged file
+    assert all(
+        f.get("max_lsn") is not None and f.get("min_lsn") is not None
+        for f in t.current().files
+    )
