@@ -94,7 +94,14 @@ def extract_image_features(
 
     def gen(batches: Iterable[pd.DataFrame]):
         for b in batches:
-            feats = _fake_features(b[content_col], dim) if use_fake else None
+            if not use_fake:
+                # no real PIL kernel exists yet: failing loudly beats
+                # silently emitting NULL features the day PIL appears
+                raise NotImplementedError(
+                    "real image feature kernel not implemented; "
+                    "pass fake=True for the deterministic stand-in"
+                )
+            feats = _fake_features(b[content_col], dim)
             yield pd.DataFrame({id_col: b[id_col], "features": feats})
 
     return df.select(id_col, content_col).mapInPandas(gen, schema)
@@ -118,6 +125,13 @@ def resize_images(
 
     def gen(batches: Iterable[pd.DataFrame]):
         for b in batches:
+            if not fake:
+                # PIL may be importable, but no real resize kernel is
+                # implemented — passthrough bytes must stay opt-in
+                raise NotImplementedError(
+                    "real image resize kernel not implemented; "
+                    "pass fake=True for passthrough bytes"
+                )
             b = b.copy()
             if "width" in b.columns:
                 b["width"] = width

@@ -130,6 +130,26 @@ def test_image_decode_gated_without_pil(spark):
         resize_images(assets, 64, 64, fake=False)
 
 
+def test_image_decode_raises_even_with_pil(spark, monkeypatch):
+    """With an importable PIL but no real kernel, fake=False must raise
+    in the executor rather than silently emit NULL features / claim a
+    resize it never did."""
+    import etl_rs_spark.operators.multimodal as mm
+
+    monkeypatch.setattr(mm, "_have_pil", lambda: True)
+    assets = gen_fake_assets(spark, n=2)
+    from py4j.protocol import Py4JJavaError
+
+    feats = mm.extract_image_features(assets, fake=False)
+    with pytest.raises((Py4JJavaError, Exception), match="NotImplementedError"):
+        feats.collect()
+    resized = mm.resize_images(assets, 64, 64, fake=False)
+    with pytest.raises((Py4JJavaError, Exception), match="NotImplementedError"):
+        resized.collect()
+    # the fake path is unaffected
+    assert mm.extract_image_features(assets, fake=True).count() == 2
+
+
 def test_resize_and_frame_sampling_fake(spark):
     assets = gen_fake_assets(spark, n=8)
     resized = resize_images(assets, 64, 48, fake=True)
