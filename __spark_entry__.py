@@ -487,6 +487,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, n=3, threshold=0.2)
 
 
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH spelling: hot-gram cap ON by default, derived from
+    the corpus (max(16, ceil(sqrt(n_docs)))). Fully SQL-expressible —
+    the oracle replicates the cap rule, so the gram-frequency filter,
+    capped set sizes and capped-universe jaccard are all under the
+    value-hash check (a wrong cap, or capping after the size count
+    instead of before, breaks the hash)."""
+    from etl_rs_spark.operators.dedup import ngram_jaccard_pairs_capped
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_capped(d, n=3, threshold=0.1)
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN with nprobe = nlist: probing every coarse cell makes
     the approximate index EXACT, so the full machinery (driver k-means
@@ -782,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "window_sliding": q_window_sliding,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_resize": q_multimodal_resize,
@@ -1088,6 +1102,39 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.doc_id = id_a
                        JOIN sizes sb ON sb.doc_id = id_b
             WHERE round(common::DOUBLE / (sa.sz + sb.sz - common), 4) >= 0.2
+        """,
+        # same postings join with the data-derived hot-gram cap
+        # (max(16, ceil(sqrt(n_docs)))) applied BEFORE sizes and the
+        # self-join — the capped-universe jaccard
+        "ngram_jaccard_capped": """
+            WITH raw AS (
+              SELECT doc_id, unnest(list_distinct(
+                list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                               i -> array_to_string(w[i:i+2], ' '))
+              )) AS g
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                    FROM documents)
+            ), cap AS (
+              SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, g FROM raw
+              WHERE g IN (SELECT g FROM raw GROUP BY g
+                          HAVING count(*) <= (SELECT c FROM cap))
+            ), sizes AS (
+              SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM grams a JOIN grams b USING (g)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(common::DOUBLE / (sa.sz + sb.sz - common), 4) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                       JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(common::DOUBLE / (sa.sz + sb.sz - common), 4) >= 0.1
         """,
         # IVF with nprobe = nlist is exact -> same oracle shape as the
         # brute-force cosine top-k, for query vector vec_id=1

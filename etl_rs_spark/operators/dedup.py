@@ -509,13 +509,53 @@ def simhash_pairs(
     )
 
 
+def auto_doc_freq_cap(n_docs: int) -> int:
+    """Data-derived hot-gram cap: max(16, ceil(sqrt(n_docs))). A gram at
+    document frequency c contributes ~c^2/2 candidate pairs, so capping
+    at sqrt(N) bounds the hottest gram's contribution at ~N/2 pairs and
+    the whole join at O(postings * sqrt(N)) instead of O(postings^2) —
+    the difference between a stop-phrase corpus finishing and not, at
+    10^10 docs."""
+    import math
+
+    return max(16, math.isqrt(max(n_docs - 1, 0)) + 1)
+
+
+def _ngram_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | str | None,
+) -> DataFrame:
+    """(__id, gram) postings, with hot grams dropped when a cap is set.
+    max_doc_freq="auto" derives auto_doc_freq_cap(count(df))."""
+    from etl_rs_spark.plans import spread_for_cpu
+
+    if max_doc_freq == "auto":
+        max_doc_freq = auto_doc_freq_cap(df.count())
+    grams = spread_for_cpu(df).select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("g"),
+    )
+    if max_doc_freq is not None:
+        hot = (
+            grams.groupBy("g")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > max_doc_freq)
+            .select("g")
+        )
+        grams = grams.join(hot, "g", "left_anti")
+    return grams
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | str | None = None,
 ) -> DataFrame:
     """EXACT word-n-gram Jaccard similarity pairs >= threshold, as a
     set-similarity join: explode distinct n-grams, equi-join on the
@@ -532,21 +572,10 @@ def ngram_jaccard_pairs(
     result is the exact Jaccard over the capped gram universe: hot
     grams carry ~zero similarity signal (that is what makes them hot),
     while the join cost becomes bounded by cap * n_grams. None = exact
-    over all grams (bounded corpora / verification oracles)."""
-    from etl_rs_spark.plans import spread_for_cpu
-
-    grams = spread_for_cpu(df).select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("g"),
-    )
-    if max_doc_freq is not None:
-        hot = (
-            grams.groupBy("g")
-            .agg(F.count("*").alias("__df"))
-            .where(F.col("__df") > max_doc_freq)
-            .select("g")
-        )
-        grams = grams.join(hot, "g", "left_anti")
+    over all grams (bounded corpora / verification oracles);
+    ``"auto"`` = ``auto_doc_freq_cap(n_docs)``, the default on the
+    scale path (``ngram_jaccard_pairs_capped``)."""
+    grams = _ngram_postings(df, id_col, text_col, n, max_doc_freq)
     sizes = grams.groupBy("__id").agg(F.count("*").alias("sz"))
     a = grams.select(F.col("__id").alias("id_a"), "g")
     b = grams.select(F.col("__id").alias("id_b"), "g")
@@ -570,6 +599,27 @@ def ngram_jaccard_pairs(
         )
     )
     return out.where(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs_capped(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The scale-path spelling of ``ngram_jaccard_pairs``: the hot-gram
+    cap defaults ON, derived from the data (max(16, ceil(sqrt(n_docs)))).
+    Exactness trade, explicitly: jaccard is exact over the CAPPED gram
+    universe — grams shared by more than the cap's worth of documents
+    (stop phrases, boilerplate) are excluded from both intersections and
+    set sizes. Near-duplicate pairs share predominantly RARE grams, so
+    planted/real dups survive; what the cap removes is precisely the
+    quadratic-cost, near-zero-signal tail. Use the uncapped form only
+    for bounded corpora or oracle verification."""
+    return ngram_jaccard_pairs(
+        df, id_col, text_col, n, threshold, max_doc_freq="auto"
+    )
 
 
 def embedding_neardup_pairs(

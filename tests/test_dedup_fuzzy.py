@@ -131,6 +131,50 @@ def test_ngram_hot_gram_cap(spark):
     assert (100, 101) in pair_set(exact)
 
 
+def test_ngram_auto_cap_bounds_candidates(spark):
+    """ngram_jaccard_pairs_capped derives the cap from the data and the
+    candidate join stays LINEAR in docs on a stop-phrase corpus (every
+    doc sharing boilerplate grams) — rows < cap·docs, not docs² — while
+    planted near-dups, which share rare grams, survive with their exact
+    capped-universe jaccard."""
+    from etl_rs_spark.operators.dedup import (
+        _ngram_postings,
+        auto_doc_freq_cap,
+        ngram_jaccard_pairs_capped,
+    )
+
+    n_docs = 200
+    boiler = "all work and no play makes jack a dull boy "  # in every doc
+    rows = [
+        (i, boiler + f"unique filler text number {i} appears here " * 2)
+        for i in range(n_docs)
+    ]
+    # planted near-dup pair sharing rare distinctive grams
+    body = "remarkably distinctive shared body of planted text " * 3
+    rows += [(900, boiler + body), (901, boiler + body + "tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    cap = auto_doc_freq_cap(df.count())
+    assert cap == auto_doc_freq_cap(n_docs + 2) and cap < n_docs
+
+    def candidates(max_doc_freq):
+        g = _ngram_postings(df, "doc_id", "text", 3, max_doc_freq)
+        a = g.select(F.col("__id").alias("id_a"), "g")
+        b = g.select(F.col("__id").alias("id_b"), "g")
+        return a.join(b, "g").where(F.col("id_a") < F.col("id_b")).count()
+
+    uncapped = candidates(None)
+    capped = candidates("auto")
+    # boilerplate grams (doc-freq = 202 > cap) make the uncapped join
+    # quadratic; with the cap it is bounded by cap * docs
+    assert uncapped > (n_docs * (n_docs - 1)) // 2
+    assert capped < cap * (n_docs + 2), f"capped={capped} cap={cap}"
+
+    pairs = pair_set(ngram_jaccard_pairs_capped(df, threshold=0.6))
+    assert (900, 901) in pairs  # planted dup survives the cap
+    assert all(p == (900, 901) for p in pairs)
+    df.unpersist()
+
+
 def test_embedding_multitable_lsh_recall(spark):
     """Multi-table hyperplane LSH (OR over tables): planted near-dups at
     cosine ~0.99 are recovered with recall >= 0.9 at threshold 0.95 —
