@@ -25,7 +25,7 @@ from typing import Any
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from etl_rs_spark.config import CdcConfig
+from etl_rs_spark.config import CdcConfig, EngineConfig
 from etl_rs_spark.cdc.apply import apply_batch
 from etl_rs_spark.generator import ENVELOPE_SCHEMA
 from etl_rs_spark.retry import RetryConfig, with_retry
@@ -46,7 +46,27 @@ class StreamDriver:
         lineage_dir: str | None = None,
         retry: RetryConfig | None = None,
         compact_every: int | None = None,
+        engine: "EngineConfig | None" = None,
     ):
+        """``engine``: an EngineConfig whose feature flags gate real
+        driver behavior — enable_dead_letter off strips the quarantine
+        dir, enable_lineage off disables lineage records, cdc.
+        compact_every fills the maintenance cadence, and the [pipeline]
+        retry knobs build the RetryConfig — all overridable by the
+        explicit keyword arguments."""
+        if engine is not None:
+            cfg = cfg or engine.effective_cdc()
+            if not engine.features.enable_lineage:
+                lineage_dir = None
+            if compact_every is None:
+                compact_every = engine.cdc.compact_every
+            if retry is None:
+                p = engine.pipeline
+                retry = RetryConfig(
+                    max_attempts=max(p.retry_attempts, 1),
+                    delay_ms=p.retry_delay_ms,
+                    backoff_multiplier=p.retry_backoff_multiplier,
+                )
         self.spark = spark
         self.table = table
         self.events_dir = events_dir

@@ -35,6 +35,41 @@ class PerformanceConfig:
     memory_limit_mb: int = 1024
     io_buffer_size_kb: int = 64
     chunk_size: int = 1000
+    # reference PerformanceConfig parity
+    # (/root/reference/src/config.rs:44-49,105-112)
+    disk_cache_size_mb: int = 512
+    connection_pool_size: int = 10
+    connection_timeout_seconds: int = 30
+
+
+@dataclass(frozen=True)
+class FeatureFlags:
+    """Reference FeatureFlags (/root/reference/src/config.rs:25-32,
+    83-93) — stored there but never consulted; here each flag gates a
+    real engine behavior — plus two engine-native flags for the
+    surfaces the reference doesn't have."""
+
+    enable_metrics: bool = True  # Pipeline metrics accumulation
+    enable_logging: bool = True  # event emission
+    enable_tracing: bool = True  # kept for reference parity (no-op)
+    enable_validation: bool = True  # Validator stage runs
+    enable_caching: bool = False  # kept for reference parity (no-op;
+    # MultiLoader's persist-once is always on — correctness, not cache)
+    # engine-native
+    enable_dead_letter: bool = True  # CDC dead-letter quarantine
+    enable_lineage: bool = True  # per-batch lineage records
+
+
+@dataclass(frozen=True)
+class ObservabilityConfig:
+    """Reference ObservabilityConfig (/root/reference/src/config.rs:
+    35-41,96-103). log_format mirrors the LogFormat enum
+    (json|pretty|compact)."""
+
+    log_level: str = "info"
+    metrics_endpoint: str | None = None
+    tracing_endpoint: str | None = None
+    log_format: str = "pretty"
 
 
 @dataclass(frozen=True)
@@ -52,6 +87,9 @@ class CdcConfig:
     #: slim winner-id agg + join-back, for very wide payloads (blobs)
     #: where shuffling the payload dominates
     dedup_strategy: str = "wide"
+    #: compact the table every N applied microbatches (None = never);
+    #: consumed by StreamDriver when built from an EngineConfig
+    compact_every: int | None = None
     #: when set, envelope rows that cannot be merged (null key/order
     #: fields, unparseable payload JSON) are quarantined to this
     #: directory instead of poisoning the LWW dedup; None = legacy
@@ -66,6 +104,10 @@ class EngineConfig:
     pipeline: PipelineConfig = field(default_factory=PipelineConfig)
     performance: PerformanceConfig = field(default_factory=PerformanceConfig)
     cdc: CdcConfig = field(default_factory=CdcConfig)
+    features: FeatureFlags = field(default_factory=FeatureFlags)
+    observability: ObservabilityConfig = field(
+        default_factory=ObservabilityConfig
+    )
 
     def validate(self) -> "EngineConfig":
         """Reject zero-valued knobs, mirroring the reference's
@@ -78,7 +120,21 @@ class EngineConfig:
             raise ConfigError("memory_limit_mb must be > 0")
         if self.cdc.num_buckets <= 0:
             raise ConfigError("num_buckets must be > 0")
+        if self.observability.log_format not in ("json", "pretty", "compact"):
+            raise ConfigError(
+                f"log_format must be json|pretty|compact, "
+                f"got {self.observability.log_format!r}"
+            )
         return self
+
+    def effective_cdc(self) -> CdcConfig:
+        """CDC config with the feature flags applied: the dead-letter
+        quarantine is disabled when features.enable_dead_letter is off
+        (bad rows then flow through the legacy path)."""
+        cdc = self.cdc
+        if not self.features.enable_dead_letter and cdc.dead_letter_dir:
+            cdc = replace(cdc, dead_letter_dir=None)
+        return cdc
 
     @classmethod
     def from_env(cls) -> "EngineConfig":
@@ -112,10 +168,10 @@ class EngineConfig:
     def from_toml(cls, toml_str: str) -> "EngineConfig":
         """Config from a TOML string — reference ETLConfig::from_toml
         (/root/reference/src/config.rs:186-192). Section/field names
-        mirror the reference's [pipeline] / [performance] tables, plus
-        the Spark-native [cdc] section; unknown keys are ignored (the
-        reference's serde deserializer is equally permissive about
-        extra sections like [features])."""
+        mirror the reference's [pipeline] / [performance] / [features] /
+        [observability] tables, plus the Spark-native [cdc] section;
+        unknown keys are ignored (the reference's serde deserializer is
+        equally permissive)."""
         import tomllib
 
         try:
@@ -129,11 +185,18 @@ class EngineConfig:
             updates = {}
             for k, v in (data or {}).items():
                 if k in known:
-                    tgt = type(getattr(obj, k))
+                    cur = getattr(obj, k)
                     try:
-                        updates[k] = (
-                            tuple(v) if tgt is tuple else tgt(v)
-                        )
+                        if cur is None:
+                            updates[k] = v  # Optional field: take as-is
+                        elif isinstance(cur, bool):
+                            if not isinstance(v, bool):
+                                raise TypeError("expected a boolean")
+                            updates[k] = v
+                        elif isinstance(cur, tuple):
+                            updates[k] = tuple(v)
+                        else:
+                            updates[k] = type(cur)(v)
                     except (TypeError, ValueError) as exc:
                         raise ConfigError(
                             f"invalid value for {k}: {v!r}"
@@ -145,6 +208,10 @@ class EngineConfig:
             pipeline=_section(cfg.pipeline, doc.get("pipeline")),
             performance=_section(cfg.performance, doc.get("performance")),
             cdc=_section(cfg.cdc, doc.get("cdc")),
+            features=_section(cfg.features, doc.get("features")),
+            observability=_section(
+                cfg.observability, doc.get("observability")
+            ),
         ).validate()
 
     @classmethod

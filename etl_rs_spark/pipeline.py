@@ -44,6 +44,11 @@ class PipelineResult:
     errors: list[str] = field(default_factory=list)
 
 
+class _NullEmitter:
+    def emit(self, event: PipelineEvent) -> None:  # pragma: no cover
+        pass
+
+
 class Pipeline:
     def __init__(
         self, extractor, transform, loader, config, emitter, pipeline_id,
@@ -53,6 +58,10 @@ class Pipeline:
         self.transform = transform
         self.loader = loader
         self.config = config
+        # features.enable_logging gates event emission for real (the
+        # reference stores the flag and never reads it)
+        if not config.features.enable_logging:
+            emitter = _NullEmitter()
         self.emitter = emitter
         self.pipeline_id = pipeline_id
         self.plugins = plugins
@@ -157,7 +166,7 @@ class Pipeline:
             except Exception as exc:
                 raise TransformError(str(exc)) from exc
 
-            if self.validator is not None:
+            if self.validator is not None and self.config.features.enable_validation:
                 self._set_state("validating")
                 violations = self.validator.validate(df)
                 if violations:
@@ -197,7 +206,8 @@ class Pipeline:
                     "completed", self.pipeline_id, data={"rows": rows, "ms": ms}
                 )
             )
-            self.metrics.record(rows, ms, True)
+            if self.config.features.enable_metrics:
+                self.metrics.record(rows, ms, True)
             return PipelineResult(rows, rows, 0, ms)
         except ETLError as exc:
             ms = int((time.monotonic() - t0) * 1000)
@@ -205,7 +215,8 @@ class Pipeline:
             self.emitter.emit(
                 PipelineEvent("error", self.pipeline_id, data={"error": str(exc)})
             )
-            self.metrics.record(0, ms, False)
+            if self.config.features.enable_metrics:
+                self.metrics.record(0, ms, False)
             raise
 
     def execute_streaming(

@@ -173,7 +173,13 @@ class LakeTable:
         bucket_col: str = "conv_id",
         num_buckets: int = 16,
         exist_ok: bool = False,
+        props: dict[str, Any] | None = None,
     ) -> "LakeTable":
+        """``props`` are table write properties carried in every
+        snapshot: ``write.compression`` (parquet codec) and
+        ``write.target-file-rows`` (split a bucket's output when its
+        expected volume exceeds the target — bounded file sizes at any
+        table size)."""
         t = cls(spark, path)
         if os.path.exists(os.path.join(t.meta_dir, "HEAD")):
             if exist_ok:
@@ -190,6 +196,7 @@ class LakeTable:
             order_cols=list(order_cols),
             bucket_col=bucket_col,
             num_buckets=num_buckets,
+            props=dict(props or {}),
         )
         t._commit(snap)
         return t
@@ -424,9 +431,11 @@ class LakeTable:
         n_buckets_touched: int,
         write_partitions: int | None = None,
         bucket_volume: dict[int, int] | None = None,
+        props: dict[str, Any] | None = None,
     ) -> list[dict[str, Any]]:
         """Write df (which must carry _BUCKET) under a fresh commit dir
-        and return [{path, bucket, rows}] for the manifest.
+        and return [{path, bucket, rows, min_lsn, max_lsn}] for the
+        manifest.
 
         Skew-aware write planning: when ``bucket_volume`` (expected rows
         per bucket — existing + incoming, known exactly from manifest
@@ -436,17 +445,39 @@ class LakeTable:
         while cold buckets stay one-file-per-bucket. Without stats, one
         partition per touched bucket. File->bucket purity is preserved
         either way (partitionBy on the bucket), which is what keeps
-        merge-time partition pruning exact."""
+        merge-time partition pruning exact.
+
+        Table write properties (``props``, normally the snapshot's):
+        ``write.target-file-rows`` caps expected rows per file — a
+        bucket whose volume exceeds it is salted into proportionally
+        many files even on an unskewed write (a 100-TB table wants
+        bounded file sizes, not one giant file per bucket; the
+        reference's DeltaLoader stores the analogous max_rows_per_file
+        and never applies it, /root/reference/src/load/delta.rs:62-69).
+        ``write.compression`` picks the parquet codec (snappy default,
+        zstd/gzip/...)."""
+        props = props or {}
+        target_rows = props.get("write.target-file-rows")
+        compression = props.get("write.compression")
         commit_dir = os.path.join(self.data_dir, f"commit-{version:08d}")
         wp = max(write_partitions or max(n_buckets_touched, 1), 1)
         if bucket_volume:
             wp = max(wp, self._cores())
             total = sum(bucket_volume.values()) or 1
             target = max(total // wp, 1)
+            salt_cap = wp
+            if target_rows:
+                target = min(target, int(target_rows))
+                # file-size control may legitimately need more files
+                # than cores; still bounded per bucket
+                salt_cap = max(wp, 2048)
             salt_n = {
-                b: max(min((v + target - 1) // target, wp), 1)
+                b: max(min((v + target - 1) // target, salt_cap), 1)
                 for b, v in bucket_volume.items()
             }
+            # every salt slot needs its own shuffle partition, else the
+            # slots of one bucket coalesce back into a single file
+            wp = max(wp, min(sum(salt_n.values()), 4096))
             if any(n > 1 for n in salt_n.values()):
                 salt_map = F.create_map(
                     *[
@@ -465,7 +496,10 @@ class LakeTable:
         else:
             shuffled = df.repartition(wp, F.col(_BUCKET))
         t_w = time.monotonic()
-        shuffled.write.partitionBy(_BUCKET).mode("overwrite").parquet(commit_dir)
+        writer = shuffled.write.partitionBy(_BUCKET).mode("overwrite")
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.parquet(commit_dir)
         t_f = time.monotonic()
         paths = glob.glob(os.path.join(commit_dir, f"{_BUCKET}=*", "*.parquet"))
         stats = _footer_stats_many(paths)
@@ -496,7 +530,10 @@ class LakeTable:
             num_buckets=snap.num_buckets,
             files=snap.files
             + self._write_files(
-                self._with_bucket(out, snap), snap.version + 1, snap.num_buckets
+                self._with_bucket(out, snap),
+                snap.version + 1,
+                snap.num_buckets,
+                props=snap.props,
             ),
             applied=dict(snap.applied),
             watermark_lsn=snap.watermark_lsn,
@@ -517,7 +554,10 @@ class LakeTable:
             bucket_col=snap.bucket_col,
             num_buckets=snap.num_buckets,
             files=self._write_files(
-                self._with_bucket(out, snap), snap.version + 1, snap.num_buckets
+                self._with_bucket(out, snap),
+                snap.version + 1,
+                snap.num_buckets,
+                props=snap.props,
             ),
             applied=dict(snap.applied),
             watermark_lsn=snap.watermark_lsn,
@@ -620,7 +660,21 @@ class LakeTable:
                 | (F.col(LSN_COL) > tombstone_lsn_horizon)
             )
         out = self._with_bucket(df, snap)
-        new_files = self._write_files(out, snap.version + 1, snap.num_buckets)
+        # default: one file per bucket. With write.target-file-rows set,
+        # manifest row counts give exact per-bucket volume so the
+        # compacted output honors the file-size cap instead.
+        vol: dict[int, int] | None = None
+        if snap.props.get("write.target-file-rows"):
+            vol = {}
+            for f in snap.files:
+                vol[f["bucket"]] = vol.get(f["bucket"], 0) + f.get("rows", 0)
+        new_files = self._write_files(
+            out,
+            snap.version + 1,
+            snap.num_buckets,
+            bucket_volume=vol,
+            props=snap.props,
+        )
         new_snap = Snapshot(
             version=snap.version + 1,
             schema_json=snap.schema_json,
@@ -792,6 +846,7 @@ class LakeTable:
             len(affected),
             write_partitions,
             bucket_volume=volume,
+            props=snap.props,
         )
         if debug:
             print(f"[merge] union+write: {time.monotonic()-t_write:.1f}s")

@@ -355,6 +355,66 @@ def test_commit_slot_claim_is_atomic(spark, tmp_path):
         t._commit(b)
 
 
+def test_write_props_target_file_rows_and_compression(spark, tmp_path):
+    """write.target-file-rows splits a bucket's output into ~volume/
+    target files; write.compression picks the parquet codec. Both ride
+    the snapshot props so every later write honors them."""
+    import pyarrow.parquet as pq
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        "k string, v long, ts timestamp",
+        key_cols=("k",),
+        order_cols=("ts", "lsn"),
+        bucket_col="k",
+        num_buckets=2,
+        props={"write.target-file-rows": 500, "write.compression": "zstd"},
+    )
+    ts = __import__("datetime").datetime(2024, 1, 1)
+    rows = spark.range(4000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+        F.lit(ts).alias("ts"),
+        F.col("id").alias("lsn"),
+        F.lit("U").alias("op"),
+    )
+    t.merge(rows, run_id="r", batch_id=0)
+    snap = t.current()
+    per_bucket: dict[int, int] = {}
+    for f in snap.files:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    # ~2000 rows/bucket at target 500 -> ~4 files each; allow hash slack
+    for b, nf in per_bucket.items():
+        assert nf >= 2, f"bucket {b} not split: {nf} file(s)"
+    total_rows = sum(f["rows"] for f in snap.files)
+    assert total_rows == 4000
+    biggest = max(f["rows"] for f in snap.files)
+    assert biggest <= 3 * 500, f"file exceeds target badly: {biggest} rows"
+    # codec actually applied
+    codecs = {
+        pq.ParquetFile(f["path"]).metadata.row_group(0).column(0).compression
+        for f in snap.files
+        if f["rows"] > 0
+    }
+    assert codecs == {"ZSTD"}, codecs
+    assert t.read().count() == 4000
+
+    # an untuned table is unchanged: one file per touched bucket on a
+    # small unskewed merge
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "t2"), "k string, v long, ts timestamp",
+        key_cols=("k",), order_cols=("ts", "lsn"), bucket_col="k", num_buckets=2,
+    )
+    t2.merge(rows.limit(100), run_id="r", batch_id=0)
+    codecs2 = {
+        pq.ParquetFile(f["path"]).metadata.row_group(0).column(0).compression
+        for f in t2.current().files
+        if f["rows"] > 0
+    }
+    assert "ZSTD" not in codecs2
+
+
 def test_changes_feed_prunes_untouched_files(spark, tmp_path):
     """After a merge touching 1 of the table's buckets, changes(v)
     must open ONLY the files rewritten by that merge — the manifest's
