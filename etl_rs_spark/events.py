@@ -28,8 +28,35 @@ class PipelineEvent:
 
 
 class LoggingEventEmitter:
+    """``fmt`` mirrors the reference's LogFormat enum
+    (/root/reference/src/config.rs:52-57): pretty (default), json
+    (one JSON object per event), compact (id+kind only)."""
+
+    def __init__(self, fmt: str = "pretty") -> None:
+        if fmt not in ("pretty", "json", "compact"):
+            raise ValueError(f"unknown log format {fmt!r}")
+        self.fmt = fmt
+
     def emit(self, event: PipelineEvent) -> None:
-        log.info("%s %s %s", event.pipeline_id, event.kind, event.data)
+        if self.fmt == "json":
+            import json
+
+            log.info(
+                "%s",
+                json.dumps(
+                    {
+                        "pipeline_id": event.pipeline_id,
+                        "kind": event.kind,
+                        "at_ms": event.at_ms,
+                        "data": event.data,
+                    },
+                    default=str,
+                ),
+            )
+        elif self.fmt == "compact":
+            log.info("%s %s", event.pipeline_id, event.kind)
+        else:
+            log.info("%s %s %s", event.pipeline_id, event.kind, event.data)
 
 
 class InMemoryEventEmitter:

@@ -309,7 +309,8 @@ class PipelineBuilder:
             self._transform,
             self._loader,
             cfg,
-            self._emitter or LoggingEventEmitter(),
+            self._emitter
+            or LoggingEventEmitter(cfg.observability.log_format),
             pid,
             plugins=self._plugins,
             validator=self._validator,

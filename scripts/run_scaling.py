@@ -283,7 +283,10 @@ wall-clock accordingly while the bucketed MERGE keeps shuffle volume per
 batch constant. Generated {time.strftime('%Y-%m-%d %H:%M:%S')}.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # SCALING_OUT lets a secondary core pair (e.g. SCALING_LEVELS=4,16)
+    # publish alongside the primary 2->8 report instead of over it
+    out = os.environ.get("SCALING_OUT", os.path.join("BENCH", "BASELINE.md"))
+    with open(os.path.join(REPO, out), "w") as f:
         f.write(md)
     print(md)
 

@@ -149,6 +149,25 @@ def test_feature_flags_gate_real_behavior(spark):
     assert gated.effective_cdc().dead_letter_dir is None
 
 
+def test_logging_emitter_formats(caplog):
+    import logging
+
+    from etl_rs_spark.events import LoggingEventEmitter, PipelineEvent
+
+    ev = PipelineEvent("started", "p1", data={"k": 1})
+    with caplog.at_level(logging.INFO, logger="etl_rs_spark"):
+        LoggingEventEmitter("json").emit(ev)
+        LoggingEventEmitter("compact").emit(ev)
+        LoggingEventEmitter().emit(ev)
+    js, compact, pretty = [r.getMessage() for r in caplog.records]
+    parsed = json.loads(js)
+    assert parsed["pipeline_id"] == "p1" and parsed["kind"] == "started"
+    assert compact == "p1 started"
+    assert "{'k': 1}" in pretty
+    with pytest.raises(ValueError):
+        LoggingEventEmitter("xml")
+
+
 def test_from_toml_rejects_invalid_values():
     with pytest.raises(ConfigError):
         EngineConfig.from_toml("[pipeline]\nbatch_size = 0\n")
