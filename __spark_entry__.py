@@ -500,6 +500,24 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs_capped(d, n=3, threshold=0.1)
 
 
+def q_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH precision stage in isolation: exact shingle Jaccard
+    computed per CANDIDATE pair (two set joins + one array_intersect —
+    O(pairs), no postings self-join). A deterministic candidate list
+    (consecutive doc ids) puts the whole verify path — shingle
+    construction, set intersection, union sizing, threshold — under the
+    value-hash oracle."""
+    from etl_rs_spark.operators.dedup import verify_pairs_exact_jaccard
+
+    d = _t(spark, sf_dir, "documents")
+    ids = d.select("doc_id")
+    cand = ids.select(F.col("doc_id").alias("id_a")).join(
+        ids.select((F.col("doc_id")).alias("id_b")),
+        F.col("id_b") == F.col("id_a") + 1,
+    )
+    return verify_pairs_exact_jaccard(d, cand, k=3, threshold=0.0)
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN with nprobe = nlist: probing every coarse cell makes
     the approximate index EXACT, so the full machinery (driver k-means
@@ -796,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sliding": q_window_sliding,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "verified_pairs": q_verified_pairs,
         "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_resize": q_multimodal_resize,
@@ -1135,6 +1154,39 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.doc_id = id_a
                        JOIN sizes sb ON sb.doc_id = id_b
             WHERE round(common::DOUBLE / (sa.sz + sb.sz - common), 4) >= 0.1
+        """,
+        # exact per-candidate-pair jaccard (the LSH precision stage)
+        # over the deterministic consecutive-id candidate list
+        "verified_pairs": """
+            WITH grams AS (
+              SELECT doc_id, unnest(list_distinct(
+                list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                               i -> array_to_string(w[i:i+2], ' '))
+              )) AS g
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                    FROM documents)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+            ), cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            ), inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS common
+              FROM cand c
+              JOIN grams ga ON ga.doc_id = c.id_a
+              JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+              GROUP BY 1, 2
+            )
+            SELECT c.id_a, c.id_b,
+                   round(coalesce(i.common, 0)::DOUBLE
+                         / (sa.sz + sb.sz - coalesce(i.common, 0)), 4) AS jaccard
+            FROM cand c
+            LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+            JOIN sizes sa ON sa.doc_id = c.id_a
+            JOIN sizes sb ON sb.doc_id = c.id_b
+            WHERE round(coalesce(i.common, 0)::DOUBLE
+                        / (sa.sz + sb.sz - coalesce(i.common, 0)), 4) >= 0.0
         """,
         # IVF with nprobe = nlist is exact -> same oracle shape as the
         # brute-force cosine top-k, for query vector vec_id=1

@@ -397,16 +397,68 @@ def minhash_lsh_pairs(
     )
 
 
+def verify_pairs_exact_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Exact-precision stage after an LSH recall stage: compute the
+    TRUE shingle Jaccard for each CANDIDATE pair only — two hash joins
+    of the per-doc distinct-shingle arrays onto the pair list plus one
+    array_intersect per pair row. Cost is O(pairs), never a postings
+    self-join, so it is immune to hot grams entirely; this is the
+    production precision filter that makes LSH candidates safe to act
+    on (LSH banding gives recall, this gives precision). Returns
+    (src, dst, jaccard) for pairs at or above ``threshold``."""
+    sets = df.select(
+        F.col(id_col).alias("__vid"),
+        F.array_distinct(shingles(text_col, k)).alias("__sh"),
+    )
+    j = pairs.select(src, dst).join(
+        sets.withColumnsRenamed({"__vid": src, "__sh": "__sh_a"}), src
+    ).join(
+        sets.withColumnsRenamed({"__vid": dst, "__sh": "__sh_b"}), dst
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size("__sh_a") + F.size("__sh_b") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        j.select(src, dst, F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    verify_threshold: float | None = None,
     **kwargs,
 ) -> DataFrame:
     """Drop near-duplicates: for every LSH pair above threshold, the
     larger id is removed (single-pass greedy; for full transitive
-    clustering run connected components over the pairs)."""
+    clustering run connected components over the pairs).
+
+    ``verify_threshold``: when set, LSH candidates are re-checked with
+    the EXACT shingle Jaccard (``verify_pairs_exact_jaccard``, O(pairs))
+    and only pairs at or above it count — LSH provides recall, the
+    verify stage restores precision, so banding false positives can no
+    longer delete a non-duplicate document."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, **kwargs)
+    if verify_threshold is not None:
+        pairs = verify_pairs_exact_jaccard(
+            df,
+            pairs,
+            id_col,
+            text_col,
+            k=kwargs.get("k", 5),
+            threshold=verify_threshold,
+        )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 

@@ -131,6 +131,39 @@ def test_ngram_hot_gram_cap(spark):
     assert (100, 101) in pair_set(exact)
 
 
+def test_verify_pairs_exact_jaccard_filters_false_candidates(spark, docs):
+    """The O(pairs) precision stage: a fabricated candidate list mixing
+    a real near-dup pair with unrelated pairs keeps only the real one,
+    and its jaccard equals the exact postings-join operator's value."""
+    from etl_rs_spark.operators.dedup import verify_pairs_exact_jaccard
+
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4)], "id_a long, id_b long"
+    )  # (1,2) near-dup; (1,3) and (3,4) unrelated
+    got = verify_pairs_exact_jaccard(docs, cand, k=3, threshold=0.5)
+    rows = {(r.id_a, r.id_b): r.jaccard for r in got.collect()}
+    assert set(rows) == {(1, 2)}
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert rows[(1, 2)] == exact[(1, 2)]
+
+
+def test_minhash_dedup_with_verification(spark, docs):
+    """verify_threshold keeps the planted dups dropped (they really are
+    dups) while guaranteeing a banding false positive could never
+    delete an unrelated doc: with an impossibly high threshold nothing
+    is dropped at all."""
+    kept = minhash_dedup(docs, verify_threshold=0.5, threshold=0.5)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 1 in ids and 4 not in ids  # exact dup of 1 still dropped
+    assert 3 in ids and 5 in ids or 3 in ids  # unrelated docs survive
+
+    none_dropped = minhash_dedup(docs, verify_threshold=1.01, threshold=0.5)
+    assert none_dropped.count() == docs.count()
+
+
 def test_ngram_auto_cap_bounds_candidates(spark):
     """ngram_jaccard_pairs_capped derives the cap from the data and the
     candidate join stays LINEAR in docs on a stop-phrase corpus (every
