@@ -376,7 +376,10 @@ class LakeTable:
         )
 
     def changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        with_version: bool = False,
     ) -> DataFrame:
         """Change data feed: the NET row-level changes between two
         snapshots — (payload columns, _change_type in upsert|delete,
@@ -395,7 +398,13 @@ class LakeTable:
         Tombstones surface as deletes. Covers rows written through
         ``merge`` (the CDC path — appends without an lsn column carry
         _lsn=-1 and never appear). Files from pre-stats manifests (no
-        max_lsn key) are conservatively read."""
+        max_lsn key) are conservatively read.
+
+        ``with_version``: adds ``_commit_version`` (Delta-CDF parity) —
+        the snapshot that applied each row's winning event, derived
+        driver-side from the monotone per-version watermark LSNs
+        (O(versions in window) metadata reads, a pure Column CASE in
+        the plan)."""
         frm = self.snapshot(from_version)
         wm = frm.watermark_lsn
         snap = self.current() if to_version is None else self.snapshot(to_version)
@@ -410,7 +419,7 @@ class LakeTable:
         else:
             df = self.spark.createDataFrame([], schema)
         changed = df.where(F.col(LSN_COL) > wm)
-        return changed.select(
+        cols = [
             *[c for c in df.columns if c not in (LSN_COL, DELETED_COL)],
             F.when(
                 F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("delete")
@@ -418,7 +427,23 @@ class LakeTable:
             .otherwise(F.lit("upsert"))
             .alias("_change_type"),
             F.col(LSN_COL).alias("_lsn"),
-        )
+        ]
+        if with_version:
+            # a row with lsn L was applied by the first version whose
+            # watermark reached L; watermarks are monotone, so one CASE
+            # over the window's (prev_wm, wm] ranges attributes exactly
+            expr = F.lit(None).cast("int")
+            prev_wm = wm
+            for v in range(from_version + 1, snap.version + 1):
+                v_wm = self.snapshot(v).watermark_lsn
+                if v_wm > prev_wm:
+                    expr = F.when(
+                        (F.col(LSN_COL) > prev_wm) & (F.col(LSN_COL) <= v_wm),
+                        F.lit(v),
+                    ).otherwise(expr)
+                    prev_wm = v_wm
+            cols.append(expr.alias("_commit_version"))
+        return changed.select(*cols)
 
     # ----------------------------------------------------------- writes --
     def _cores(self) -> int:

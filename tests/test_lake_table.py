@@ -280,6 +280,45 @@ def test_changes_feed_net_semantics(spark, tmp_path):
     assert new.merge(dl, on=key, how="inner").empty
 
 
+def test_changes_with_commit_version(spark, tmp_path):
+    """with_version=True attributes each feed row to the snapshot whose
+    merge applied its winning event (Delta CDF's _commit_version)."""
+    from etl_rs_spark.cdc.apply import apply_batch
+    from etl_rs_spark.config import CdcConfig
+
+    cfg = CdcConfig(num_buckets=4)
+    ddl = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl, num_buckets=4)
+    ts = __import__("datetime").datetime(2024, 1, 1)
+
+    def env(rows):
+        return spark.createDataFrame(
+            rows,
+            "lsn long, op string, conv_id string, turn_idx int, ts timestamp, payload string",
+        )
+
+    apply_batch(t, env([(1, "U", "a", 0, ts, '{"text":"x"}')]), 0, "r", cfg=cfg)
+    v1 = t.current().version
+    apply_batch(t, env([(10, "U", "b", 0, ts, '{"text":"y"}')]), 1, "r", cfg=cfg)
+    v2 = t.current().version
+    apply_batch(t, env([(20, "U", "c", 0, ts, '{"text":"z"}')]), 2, "r", cfg=cfg)
+    v3 = t.current().version
+
+    feed = t.changes(0, with_version=True).toPandas()
+    by_conv = feed.set_index("conv_id")["_commit_version"].to_dict()
+    assert by_conv == {"a": v1, "b": v2, "c": v3}
+    # window starting mid-stream attributes only in-window versions
+    feed2 = t.changes(v1, with_version=True).toPandas()
+    assert set(feed2.conv_id) == {"b", "c"}
+    assert feed2.set_index("conv_id")["_commit_version"].to_dict() == {
+        "b": v2,
+        "c": v3,
+    }
+
+
 def test_commit_conflict_detected(spark, tmp_path):
     """A commit whose snapshot was derived from a stale HEAD (its
     target version is at or behind the published one) must raise
