@@ -292,4 +292,7 @@ batch constant. Generated {time.strftime('%Y-%m-%d %H:%M:%S')}.
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000,
+        rounds=int(os.environ.get("SCALING_ROUNDS", "3")),
+    )
