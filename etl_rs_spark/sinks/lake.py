@@ -484,7 +484,13 @@ class LakeTable:
         props = props or {}
         target_rows = props.get("write.target-file-rows")
         compression = props.get("write.compression")
-        commit_dir = os.path.join(self.data_dir, f"commit-{version:08d}")
+        # unique per write ATTEMPT, not per version: two writers racing
+        # the same slot must never share a staging dir — a shared dir
+        # lets one clobber the other's _temporary output and, worse,
+        # lets the winner's manifest glob up the loser's files
+        commit_dir = os.path.join(
+            self.data_dir, f"commit-{version:08d}-{uuid.uuid4().hex[:8]}"
+        )
         wp = max(write_partitions or max(n_buckets_touched, 1), 1)
         if bucket_volume:
             wp = max(wp, self._cores())

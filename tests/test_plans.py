@@ -101,3 +101,19 @@ def test_merge_scan_is_bucket_pruned(spark, tmp_path):
         p for p, f in files_before.items() if f["bucket"] not in stats["buckets_touched"]
     }
     assert untouched_before <= set(after)
+
+
+def test_new_pair_entries_plan_no_nested_loop(spark):
+    """The verified-pairs and capped-ngram entries must plan as pure
+    equi-joins — a BroadcastNestedLoopJoin or CartesianProduct at 10^10
+    docs is a different algorithm, not a slow one."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    for name in ("verified_pairs", "ngram_jaccard_capped"):
+        df = entrymod.queries()[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
