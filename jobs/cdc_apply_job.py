@@ -38,6 +38,10 @@ def parse_args(argv):
                    help="quarantine dir for unmergeable envelope rows")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--trigger", default=None, help="processingTime, e.g. '10 seconds'; omit for availableNow replay")
+    p.add_argument("--config", default=None,
+                   help="TOML EngineConfig file ([pipeline]/[cdc]/[features]/"
+                        "[observability]); feature flags gate DLQ, lineage and "
+                        "the compaction cadence; CLI flags override")
     p.add_argument("--schema", default=(
         "conv_id string, turn_idx int, role string, text string, "
         "tool string, ts timestamp"
@@ -48,10 +52,14 @@ def parse_args(argv):
 def main(argv=None) -> int:
     args = parse_args(argv)
 
+    from dataclasses import replace
+
     from etl_rs_spark.cdc.stream import StreamDriver
-    from etl_rs_spark.config import CdcConfig
+    from etl_rs_spark.config import CdcConfig, EngineConfig
     from etl_rs_spark.session import get_spark
     from etl_rs_spark.sinks.lake import LakeTable
+
+    engine = EngineConfig.from_file(args.config) if args.config else None
 
     spark = get_spark("cdc-apply")
     if args.create_table:
@@ -62,17 +70,22 @@ def main(argv=None) -> int:
     else:
         table = LakeTable.load(spark, args.table)
 
+    # CLI flags override the config file's [cdc] section
+    base_cdc = engine.effective_cdc() if engine else CdcConfig()
+    cdc = replace(
+        base_cdc,
+        salt_buckets=args.salt_buckets or base_cdc.salt_buckets,
+        dead_letter_dir=args.dead_letter or base_cdc.dead_letter_dir,
+    )
     driver = StreamDriver(
         spark,
         table,
         args.events_dir,
         args.checkpoint,
-        cfg=CdcConfig(
-            salt_buckets=args.salt_buckets,
-            dead_letter_dir=args.dead_letter,
-        ),
+        cfg=cdc,
         max_files_per_trigger=args.max_files_per_trigger,
         lineage_dir=args.lineage,
+        engine=engine,
     )
     if args.trigger:
         q = driver.start(processing_time=args.trigger)
