@@ -403,6 +403,22 @@ def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters are monotonic, so max() over the update-mode emissions
     equals the final state — which is exactly the batch aggregate the
     DuckDB oracle computes."""
+    return _stateful_user_stats(spark, sf_dir, approx=False)
+
+
+def q_stateful_user_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-state mode of the same operator: the state row holds
+    a constant 4 KiB HLL sketch instead of the distinct set. On an
+    enum-like distinct column the linear-counting estimate is EXACT
+    (verified: all keys at this cardinality), so the approx path runs
+    under the identical count(DISTINCT) oracle — same hash, constant
+    state."""
+    return _stateful_user_stats(spark, sf_dir, approx=True)
+
+
+def _stateful_user_stats(
+    spark: SparkSession, sf_dir: str, approx: bool
+) -> DataFrame:
     import uuid
 
     from etl_rs_spark.streaming.stateful import running_group_stats
@@ -426,7 +442,9 @@ def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     q = (
-        running_group_stats(src, "user_id", "event_type", "ts")
+        running_group_stats(
+            src, "user_id", "event_type", "ts", approx_distinct=approx
+        )
         .writeStream.format("memory")
         .queryName(qname)
         .outputMode("update")
@@ -810,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "stateful_user_stats": q_stateful_user_stats,
+        "stateful_user_stats_approx": q_stateful_user_stats_approx,
         "dup_clusters": q_dup_clusters,
         "window_sliding": q_window_sliding,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1063,6 +1082,17 @@ def oracle_sql() -> dict[str, str]:
         # the stateful streaming drain's final state IS the batch
         # aggregate (monotonic counters, LWW last_ts) — SQL-expressible
         "stateful_user_stats": """
+            SELECT user_id,
+                   count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_event_types,
+                   max(ts) AS last_ts
+            FROM events
+            GROUP BY user_id
+        """,
+        # the HLL approx mode shares the exact oracle: at enum-like
+        # cardinality the linear-counting estimate equals the true
+        # distinct count deterministically (stable blake2b hashing)
+        "stateful_user_stats_approx": """
             SELECT user_id,
                    count(*) AS n_events,
                    count(DISTINCT event_type) AS n_event_types,
