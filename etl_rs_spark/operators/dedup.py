@@ -415,10 +415,19 @@ def verify_pairs_exact_jaccard(
     production precision filter that makes LSH candidates safe to act
     on (LSH banding gives recall, this gives precision). Returns
     (src, dst, jaccard) for pairs at or above ``threshold``."""
+    # shingle only the docs that appear in a candidate pair: at corpus
+    # scale candidates are sparse, and the semi-join (pushed below the
+    # projection by PushDownLeftSemiAntiJoin) keeps the expensive
+    # shingle pass O(candidate docs), not O(corpus)
+    needed = (
+        pairs.select(F.col(src).alias("__vid"))
+        .unionByName(pairs.select(F.col(dst).alias("__vid")))
+        .distinct()
+    )
     sets = df.select(
         F.col(id_col).alias("__vid"),
         F.array_distinct(shingles(text_col, k)).alias("__sh"),
-    )
+    ).join(needed, "__vid", "left_semi")
     j = pairs.select(src, dst).join(
         sets.withColumnsRenamed({"__vid": src, "__sh": "__sh_a"}), src
     ).join(
