@@ -171,6 +171,32 @@ class ParquetSink:
 
 
 @dataclass
+class OrcSink:
+    """ORC output — same contract as ParquetSink (compression,
+    errorifexists-unless-overwrite, partitioned layout), for warehouse
+    pipelines whose downstream readers are ORC-native. Beyond the
+    reference's format set."""
+
+    path: str
+    compression: str = "snappy"
+    overwrite: bool = False
+    partition_by: Sequence[str] = field(default_factory=tuple)
+
+    def load(self, df: DataFrame) -> dict[str, Any]:
+        df, obs = _observed(df)
+        w = df.write.option("compression", self.compression).mode(
+            "overwrite" if self.overwrite else "errorifexists"
+        )
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.orc(self.path)
+        return _rows_out(int(obs.get["rows"]))
+
+    def health_check(self) -> bool:
+        return _dir_writable(self.path)
+
+
+@dataclass
 class MultiSink:
     """MultiLoader (/root/reference/examples/example_01.rs:166-207): fan
     one dataset out to several sinks; the input is persisted once so the

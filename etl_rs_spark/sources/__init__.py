@@ -200,6 +200,35 @@ class ParquetSource:
 
 
 @dataclass
+class OrcSource:
+    """ORC scans — beyond the reference's format set (it ships csv/json/
+    parquet/delta only, /root/reference/src/extract/), but a first-class
+    warehouse interchange format Spark reads natively with the same
+    pushdown/pruning guarantees as parquet. Same surface as
+    ParquetSource; batch + streaming."""
+
+    path: str
+    columns: Sequence[str] = field(default_factory=tuple)
+    predicate: str | None = None
+
+    def extract(self, spark: SparkSession) -> DataFrame:
+        df = spark.read.orc(self.path)
+        if self.predicate:
+            df = df.where(self.predicate)
+        if self.columns:
+            df = df.select(*self.columns)
+        return df
+
+    def extract_stream(self, spark: SparkSession, schema: str) -> DataFrame:
+        df = spark.readStream.schema(schema).orc(self.path)
+        if self.predicate:
+            df = df.where(self.predicate)
+        if self.columns:
+            df = df.select(*self.columns)
+        return df
+
+
+@dataclass
 class LakeSource:
     """DeltaExtractor-equivalent over LakeTable
     (/root/reference/src/extract/delta.rs:37-138). with_version is

@@ -120,6 +120,42 @@ def test_parquet_sink_errorifexists_then_overwrite(spark, tmp_path):
     assert spark.read.parquet(p).count() == 5
 
 
+def test_orc_roundtrip_pushdown_and_sink_modes(spark, tmp_path):
+    """ORC source/sink: same pushdown/projection and errorifexists
+    contract as the parquet pair."""
+    p = str(tmp_path / "t.orc")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i * 1.5) for i in range(100)], "id int, name string, v double"
+    )
+    sinks.OrcSink(p).load(df)
+    with pytest.raises(Exception):
+        sinks.OrcSink(p).load(df)  # exists -> error
+    sinks.OrcSink(p, overwrite=True, compression="zlib").load(df)
+
+    s = src.OrcSource(p, columns=["id", "name"], predicate="id > 90")
+    out = s.extract(spark)
+    assert out.columns == ["id", "name"] and out.count() == 9
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,90)" in plan
+    # streaming read drains the same rows
+    stream = src.OrcSource(p).extract_stream(
+        spark, "id int, name string, v double"
+    )
+    import uuid
+
+    qname = "orc_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    assert spark.table(qname).count() == 100
+
+
 def test_multi_sink_fanout(spark, tmp_path):
     m1, m2 = sinks.MemorySink(), sinks.MemorySink()
     res = sinks.MultiSink([m1, m2]).load(spark.range(4))
