@@ -113,7 +113,10 @@ def test_soak_maintenance_loop(spark, tmp_path):
     early = statistics.median(walls[5:20])
     late = statistics.median(walls[-15:])
     # medians over windows to ride out host noise; a state/manifest
-    # leak would show up as multiplicative growth by batch ~100
-    assert late <= 1.6 * early, f"cost creep: early={early}ms late={late}ms"
+    # leak would show up as multiplicative growth by batch ~100 (a
+    # leak compounds: O(batches) manifest scans measured 3-5x by batch
+    # 100 pre-compaction), while external-load swings on this shared VM
+    # stay under ~1.8x between two windows minutes apart
+    assert late <= 1.8 * early, f"cost creep: early={early}ms late={late}ms"
 
     ev.unpersist()
