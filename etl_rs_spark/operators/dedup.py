@@ -465,7 +465,7 @@ def minhash_dedup(
             pairs,
             id_col,
             text_col,
-            k=kwargs.get("k", 5),
+            k=kwargs.get("shingle_k", 5),
             threshold=verify_threshold,
         )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()

@@ -43,6 +43,7 @@ same as one Structured Streaming query owning an Iceberg table.
 
 from __future__ import annotations
 
+import fcntl
 import glob
 import json
 import os
@@ -140,6 +141,15 @@ class Snapshot:
     #: with_timestamp but never resolves it,
     #: /root/reference/src/extract/delta.rs:104-109; here it resolves).
     committed_at_ms: int = -1
+    #: [[version, watermark_lsn]] at every commit that ADVANCED the
+    #: watermark, carried forward whole in each snapshot (seeded
+    #: [[0, -1]] at create). changes(with_version=True) attributes rows
+    #: from the to-snapshot's history alone: O(1) driver metadata reads
+    #: for any window, robust to expire_snapshots removing intermediate
+    #: version files. Grows O(merge-commits) — the same order as the
+    #: meta dir itself. Empty = legacy manifest (fall back to walking
+    #: surviving version files).
+    wm_history: list = field(default_factory=list)
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
@@ -197,6 +207,7 @@ class LakeTable:
             bucket_col=bucket_col,
             num_buckets=num_buckets,
             props=dict(props or {}),
+            wm_history=[[0, -1]],
         )
         t._commit(snap)
         return t
@@ -297,7 +308,19 @@ class LakeTable:
 
     def _claim_slot(self, vtmp: str, vpath: str, version: int) -> None:
         """Link the fully-written manifest into the version slot; the
-        exclusive create is the commit arbiter."""
+        exclusive create is the commit arbiter.
+
+        Stale-claim arbitration is CONTENT-based, not mtime-based: a
+        claim's age comes from the ``committed_at_ms`` the claiming
+        writer embedded in the manifest JSON itself, so recycling is
+        correct on stores with coarse, cached, or skewed filesystem
+        mtimes. Recycling serializes on an exclusive per-version flock:
+        the winner re-verifies staleness INSIDE the lock before
+        unlink+link, so a racing recoverer can never unlink a competitor
+        's freshly recycled claim (plain unlink-then-link had that
+        window: read-stale / competitor-recycles / unlink-fresh). The
+        no-contention fast path — the first ``os.link`` — never takes
+        the lock."""
         try:
             os.link(vtmp, vpath)
             return
@@ -315,29 +338,54 @@ class LakeTable:
                 f"published by another writer (HEAD={published}); "
                 f"re-read and retry"
             )
-        try:
-            age_s = time.time() - os.path.getmtime(vpath)
-        except FileNotFoundError:
-            age_s = float("inf")  # claimant vanished; retry the link below
+        age_s = self._claim_age_s(vpath)
         if age_s <= self.STALE_CLAIM_S:
             raise LoadError(
                 f"concurrent commit conflict: version {version} is "
                 f"claimed by an in-flight writer ({age_s:.1f}s old, "
                 f"stale after {self.STALE_CLAIM_S}s); re-read and retry"
             )
-        # stale residue: recycle the slot. unlink-then-link keeps the
-        # arbiter exclusive even if two recoverers race — one link wins.
+        lockpath = os.path.join(self.meta_dir, f".claimlock-{version:08d}")
+        with open(lockpath, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                if self._claim_age_s(vpath) <= self.STALE_CLAIM_S:
+                    # a competing recoverer recycled the slot while we
+                    # waited for the lock — the claim there is fresh now
+                    raise LoadError(
+                        f"concurrent commit conflict: version {version} "
+                        f"was re-claimed by a competing recoverer; "
+                        f"re-read and retry"
+                    )
+                try:
+                    os.unlink(vpath)
+                except FileNotFoundError:
+                    pass
+                try:
+                    os.link(vtmp, vpath)
+                except FileExistsError:
+                    raise LoadError(
+                        f"concurrent commit conflict: version {version} "
+                        f"was re-claimed by a competing recoverer; "
+                        f"re-read and retry"
+                    ) from None
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+
+    def _claim_age_s(self, vpath: str) -> float:
+        """Seconds since the claim at ``vpath`` was stamped, read from
+        the claim's own embedded ``committed_at_ms``. A vanished,
+        unreadable, or unstamped claim counts as infinitely old: the
+        write path fsyncs the full manifest before linking it into the
+        slot, so torn content can only be crashed residue."""
         try:
-            os.unlink(vpath)
-        except FileNotFoundError:
-            pass
-        try:
-            os.link(vtmp, vpath)
-        except FileExistsError:
-            raise LoadError(
-                f"concurrent commit conflict: version {version} was "
-                f"re-claimed by a competing recoverer; re-read and retry"
-            ) from None
+            with open(vpath) as f:
+                claimed_ms = json.loads(f.read()).get("committed_at_ms", -1)
+        except (FileNotFoundError, ValueError):
+            return float("inf")
+        if not isinstance(claimed_ms, (int, float)) or claimed_ms < 0:
+            return float("inf")
+        return time.time() - claimed_ms / 1000.0
 
     # ------------------------------------------------------------ reads --
     def read(
@@ -401,13 +449,29 @@ class LakeTable:
         max_lsn key) are conservatively read.
 
         ``with_version``: adds ``_commit_version`` (Delta-CDF parity) —
-        the snapshot that applied each row's winning event, derived
-        driver-side from the monotone per-version watermark LSNs
-        (O(versions in window) metadata reads, a pure Column CASE in
-        the plan)."""
-        frm = self.snapshot(from_version)
-        wm = frm.watermark_lsn
+        the snapshot that applied each row's winning event. Attribution
+        reads the TO-snapshot's embedded ``wm_history`` (the full list
+        of watermark-advancing commits every snapshot carries), so any
+        window costs O(1) driver metadata reads — no per-version
+        ``snapshot()`` calls, and expire_snapshots removing intermediate
+        version files cannot break it — and the plan is one broadcast
+        range join against the tiny (version, lsn-range) table instead
+        of an O(window)-deep nested CASE (which falls out of codegen
+        for long windows). Legacy manifests without history fall back
+        to walking SURVIVING version files; a version expired away
+        there attributes its rows to the next surviving version."""
         snap = self.current() if to_version is None else self.snapshot(to_version)
+        try:
+            wm = self.snapshot(from_version).watermark_lsn
+        except FileNotFoundError:
+            # from-snapshot expired: its watermark is recoverable from
+            # the to-snapshot's history (last advance at or before it)
+            if not snap.wm_history:
+                raise
+            wm = max(
+                (w for v, w in snap.wm_history if v <= from_version),
+                default=-1,
+            )
         files = [
             f
             for f in snap.files
@@ -428,22 +492,48 @@ class LakeTable:
             .alias("_change_type"),
             F.col(LSN_COL).alias("_lsn"),
         ]
-        if with_version:
-            # a row with lsn L was applied by the first version whose
-            # watermark reached L; watermarks are monotone, so one CASE
-            # over the window's (prev_wm, wm] ranges attributes exactly
-            expr = F.lit(None).cast("int")
-            prev_wm = wm
+        if not with_version:
+            return changed.select(*cols)
+        # a row with lsn L was applied by the first version whose
+        # watermark reached L; watermarks are monotone, so the window's
+        # (prev_wm, wm] ranges partition the LSN line and each changed
+        # row matches exactly one range
+        if snap.wm_history:
+            hist = [
+                (v, w)
+                for v, w in snap.wm_history
+                if from_version < v <= snap.version
+            ]
+        else:  # legacy manifest: walk surviving version files
+            hist = []
             for v in range(from_version + 1, snap.version + 1):
-                v_wm = self.snapshot(v).watermark_lsn
-                if v_wm > prev_wm:
-                    expr = F.when(
-                        (F.col(LSN_COL) > prev_wm) & (F.col(LSN_COL) <= v_wm),
-                        F.lit(v),
-                    ).otherwise(expr)
-                    prev_wm = v_wm
-            cols.append(expr.alias("_commit_version"))
-        return changed.select(*cols)
+                try:
+                    hist.append((v, self.snapshot(v).watermark_lsn))
+                except FileNotFoundError:
+                    continue
+        ranges, prev_wm = [], wm
+        for v, v_wm in hist:
+            if v_wm > prev_wm:
+                ranges.append((v, prev_wm, v_wm))
+                prev_wm = v_wm
+        out = changed.select(*cols)
+        if not ranges:
+            return out.withColumn(
+                "_commit_version", F.lit(None).cast("int")
+            )
+        rdf = self.spark.createDataFrame(
+            ranges, "_cv int, _cv_lo long, _cv_hi long"
+        )
+        return (
+            out.join(
+                F.broadcast(rdf),
+                (F.col("_lsn") > F.col("_cv_lo"))
+                & (F.col("_lsn") <= F.col("_cv_hi")),
+                "left",
+            )
+            .withColumn("_commit_version", F.col("_cv"))
+            .drop("_cv", "_cv_lo", "_cv_hi")
+        )
 
     # ----------------------------------------------------------- writes --
     def _cores(self) -> int:
@@ -569,6 +659,7 @@ class LakeTable:
             applied=dict(snap.applied),
             watermark_lsn=snap.watermark_lsn,
             props=dict(snap.props),
+            wm_history=list(snap.wm_history),
         )
         self._commit(new)
         return {"version": new.version, "mode": "append"}
@@ -593,6 +684,7 @@ class LakeTable:
             applied=dict(snap.applied),
             watermark_lsn=snap.watermark_lsn,
             props=dict(snap.props),
+            wm_history=list(snap.wm_history),
         )
         self._commit(new)
         return {"version": new.version, "mode": "overwrite"}
@@ -717,6 +809,7 @@ class LakeTable:
             applied=dict(snap.applied),
             watermark_lsn=snap.watermark_lsn,
             props=dict(snap.props),
+            wm_history=list(snap.wm_history),
         )
         self._commit(new_snap)
         return {
@@ -898,7 +991,12 @@ class LakeTable:
             applied=applied,
             watermark_lsn=max(snap.watermark_lsn, int(hi_lsn if hi_lsn is not None else -1)),
             props=dict(snap.props),
+            wm_history=list(snap.wm_history),
         )
+        if new_snap.watermark_lsn > snap.watermark_lsn:
+            new_snap.wm_history.append(
+                [new_snap.version, new_snap.watermark_lsn]
+            )
         self._commit(new_snap)
         rows_per_bucket: dict[int, int] = {}
         for f in new_files:

@@ -33,9 +33,12 @@ def parse_args(argv):
     p.add_argument("--lineage", default=None)
     p.add_argument("--create-table", action="store_true")
     p.add_argument("--num-buckets", type=int, default=64)
-    p.add_argument("--salt-buckets", type=int, default=0)
+    p.add_argument("--salt-buckets", type=int, default=None,
+                   help="override [cdc].salt_buckets; pass 0 to disable "
+                        "salting even when the config file enables it")
     p.add_argument("--dead-letter", default=None,
-                   help="quarantine dir for unmergeable envelope rows")
+                   help="quarantine dir for unmergeable envelope rows; "
+                        "pass '' to disable a config file's DLQ")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--trigger", default=None, help="processingTime, e.g. '10 seconds'; omit for availableNow replay")
     p.add_argument("--config", default=None,
@@ -74,8 +77,10 @@ def main(argv=None) -> int:
     base_cdc = engine.effective_cdc() if engine else CdcConfig()
     cdc = replace(
         base_cdc,
-        salt_buckets=args.salt_buckets or base_cdc.salt_buckets,
-        dead_letter_dir=args.dead_letter or base_cdc.dead_letter_dir,
+        salt_buckets=(args.salt_buckets if args.salt_buckets is not None
+                      else base_cdc.salt_buckets),
+        dead_letter_dir=(args.dead_letter if args.dead_letter is not None
+                         else base_cdc.dead_letter_dir),
     )
     driver = StreamDriver(
         spark,

@@ -357,6 +357,37 @@ def test_changes_with_commit_version(spark, tmp_path):
         "c": v3,
     }
 
+    # O(1) driver metadata reads: attribution rides the to-snapshot's
+    # embedded wm_history, never per-version snapshot() calls
+    reads = {"n": 0}
+    real = t.snapshot
+
+    def counting(v):
+        reads["n"] += 1
+        return real(v)
+
+    t.snapshot = counting
+    try:
+        t.changes(0, with_version=True).collect()
+    finally:
+        t.snapshot = real
+    assert reads["n"] <= 2  # from-snapshot (+ optional to-snapshot) only
+
+    # expire_snapshots removing INTERMEDIATE version files must not
+    # break attribution (the old per-version walk raised FileNotFound);
+    # and an expired FROM version resolves via history too
+    removed = os.path.join(t.meta_dir, f"version-{v2:08d}.json")
+    os.remove(removed)
+    feed3 = t.changes(0, with_version=True).toPandas()
+    assert feed3.set_index("conv_id")["_commit_version"].to_dict() == {
+        "a": v1, "b": v2, "c": v3,
+    }
+    os.remove(os.path.join(t.meta_dir, f"version-{v1:08d}.json"))
+    feed4 = t.changes(v1, with_version=True).toPandas()
+    assert feed4.set_index("conv_id")["_commit_version"].to_dict() == {
+        "b": v2, "c": v3,
+    }
+
 
 def test_commit_conflict_detected(spark, tmp_path):
     """A commit whose snapshot was derived from a stale HEAD (its
@@ -381,14 +412,78 @@ def test_commit_crash_residue_recovers(spark, tmp_path):
     v = t.current().version
     orphan = t.current()
     orphan.version = v + 1
+    # age the residue past the claim-staleness window via its EMBEDDED
+    # commit stamp — arbitration reads the claim's own committed_at_ms,
+    # not filesystem mtime (mtime is coarse/skewed on shared stores)
+    old_ms = int((__import__("time").time() - t.STALE_CLAIM_S - 10) * 1000)
+    orphan.committed_at_ms = old_ms
     vpath = os.path.join(t.meta_dir, f"version-{v+1:08d}.json")
     with open(vpath, "w") as f:
         f.write(orphan.to_json())
-    # age the residue past the claim-staleness window (a real crashed
-    # writer's file is old by the time anyone recommits)
-    old = __import__("time").time() - t.STALE_CLAIM_S - 10
-    os.utime(vpath, (old, old))
+    # mtime says "fresh" — content-based arbitration must recycle anyway
+    now = __import__("time").time()
+    os.utime(vpath, (now, now))
     t.append(_df(spark, 2))  # claims v+1 over the stale residue
+    assert t.current().version == v + 1
+    assert t.read().count() == 6
+
+
+def test_commit_recoverer_race_exactly_one_winner(spark, tmp_path):
+    """Recoverer B saw a stale residue, but recoverer A recycled the
+    slot while B waited for the recycle lock (fresh claim at vpath
+    now). B must lose at the IN-LOCK re-verification — it must NOT
+    unlink A's fresh claim (the unlink-then-link race the flock
+    closes). Simulated by interposing on _claim_age_s: stale on B's
+    pre-lock check, fresh once B holds the lock."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    t.append(_df(spark, 4))
+    v = t.current().version
+
+    # A's freshly recycled claim occupies the slot; HEAD not yet swung
+    a = t.current()
+    a.version = v + 1
+    a.committed_at_ms = int(__import__("time").time() * 1000)
+    vpath = os.path.join(t.meta_dir, f"version-{v+1:08d}.json")
+    with open(vpath, "w") as f:
+        f.write(a.to_json())
+    a_bytes = open(vpath).read()
+
+    b = t.current()
+    b.version = v + 1
+    vtmp = os.path.join(t.meta_dir, ".version.loser")
+    with open(vtmp, "w") as f:
+        f.write(b.to_json())
+
+    real_age = t._claim_age_s
+    calls = {"n": 0}
+
+    def staggered_age(path):
+        calls["n"] += 1
+        # B's pre-lock read happened before A recycled: report stale
+        return float("inf") if calls["n"] == 1 else real_age(path)
+
+    t._claim_age_s = staggered_age
+    try:
+        with pytest.raises(LoadError, match="re-claimed"):
+            t._claim_slot(vtmp, vpath, b.version)
+    finally:
+        t._claim_age_s = real_age
+        os.remove(vtmp)
+    assert calls["n"] >= 2  # the in-lock re-verification actually ran
+    assert open(vpath).read() == a_bytes  # A's fresh claim untouched
+
+
+def test_commit_corrupt_claim_counts_as_stale(spark, tmp_path):
+    """A torn/unreadable claim can only be crashed residue (the write
+    path fsyncs the full manifest before linking), so it must be
+    recyclable regardless of mtime."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    t.append(_df(spark, 4))
+    v = t.current().version
+    vpath = os.path.join(t.meta_dir, f"version-{v+1:08d}.json")
+    with open(vpath, "w") as f:
+        f.write('{"version": ')  # torn JSON, fresh mtime
+    t.append(_df(spark, 2))
     assert t.current().version == v + 1
     assert t.read().count() == 6
 
@@ -406,7 +501,8 @@ def test_commit_slot_claim_is_atomic(spark, tmp_path):
     # writer A: mid-commit — slot claimed (fresh file), HEAD not swung
     a = t.current()
     a.version = snap.version + 1
-    a.committed_at_ms = 0
+    # a LIVE claim carries a recent embedded stamp (content-based age)
+    a.committed_at_ms = int(__import__("time").time() * 1000)
     vpath = os.path.join(t.meta_dir, f"version-{a.version:08d}.json")
     with open(vpath, "w") as f:
         f.write(a.to_json())
