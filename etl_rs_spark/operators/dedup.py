@@ -588,18 +588,40 @@ def _ngram_postings(
     text_col: str,
     n: int,
     max_doc_freq: int | str | None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(__id, gram) postings, with hot grams dropped when a cap is set.
-    max_doc_freq="auto" derives auto_doc_freq_cap(count(df))."""
+
+    max_doc_freq="auto" derives ``auto_doc_freq_cap``: from ``n_docs``
+    when the caller already knows the corpus size (manifest row counts
+    on the CDC path — zero extra work), otherwise INSIDE the plan — a
+    count(*) subquery broadcast into the hot-gram filter, so the cap
+    rides the same action as the postings job instead of costing a
+    separate eager ``df.count()``."""
     from etl_rs_spark.plans import spread_for_cpu
 
-    if max_doc_freq == "auto":
-        max_doc_freq = auto_doc_freq_cap(df.count())
+    if max_doc_freq == "auto" and n_docs is not None:
+        max_doc_freq = auto_doc_freq_cap(n_docs)
     grams = spread_for_cpu(df).select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("g"),
     )
-    if max_doc_freq is not None:
+    if max_doc_freq == "auto":
+        # SQL twin of auto_doc_freq_cap: greatest(16, ceil(sqrt(N)))
+        cap_df = df.agg(
+            F.greatest(F.lit(16), F.ceil(F.sqrt(F.count(F.lit(1)))))
+            .cast("long")
+            .alias("__cap")
+        )
+        hot = (
+            grams.groupBy("g")
+            .agg(F.count("*").alias("__df"))
+            .crossJoin(F.broadcast(cap_df))
+            .where(F.col("__df") > F.col("__cap"))
+            .select("g")
+        )
+        grams = grams.join(hot, "g", "left_anti")
+    elif max_doc_freq is not None:
         hot = (
             grams.groupBy("g")
             .agg(F.count("*").alias("__df"))
@@ -617,6 +639,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | str | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """EXACT word-n-gram Jaccard similarity pairs >= threshold, as a
     set-similarity join: explode distinct n-grams, equi-join on the
@@ -636,7 +659,7 @@ def ngram_jaccard_pairs(
     over all grams (bounded corpora / verification oracles);
     ``"auto"`` = ``auto_doc_freq_cap(n_docs)``, the default on the
     scale path (``ngram_jaccard_pairs_capped``)."""
-    grams = _ngram_postings(df, id_col, text_col, n, max_doc_freq)
+    grams = _ngram_postings(df, id_col, text_col, n, max_doc_freq, n_docs)
     sizes = grams.groupBy("__id").agg(F.count("*").alias("sz"))
     a = grams.select(F.col("__id").alias("id_a"), "g")
     b = grams.select(F.col("__id").alias("id_b"), "g")
@@ -668,6 +691,7 @@ def ngram_jaccard_pairs_capped(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """The scale-path spelling of ``ngram_jaccard_pairs``: the hot-gram
     cap defaults ON, derived from the data (max(16, ceil(sqrt(n_docs)))).
@@ -679,7 +703,8 @@ def ngram_jaccard_pairs_capped(
     quadratic-cost, near-zero-signal tail. Use the uncapped form only
     for bounded corpora or oracle verification."""
     return ngram_jaccard_pairs(
-        df, id_col, text_col, n, threshold, max_doc_freq="auto"
+        df, id_col, text_col, n, threshold, max_doc_freq="auto",
+        n_docs=n_docs,
     )
 
 

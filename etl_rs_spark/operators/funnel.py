@@ -8,11 +8,15 @@ strictly after it, and so on — if any ordered witness exists, the
 greedy one does (exchange argument), so the computation is k
 conditional min-aggregations instead of a combinatorial search.
 
-Scale shape: every aggregation and join is keyed on the same entity
-column, so after the first hash partitioning the per-stage joins are
-co-partitioned (no re-shuffle of the big side under AQE's exchange
-reuse), and each stage pass is a map-side-combinable min(). No windows,
-no sorts, no Python.
+Scale shape: ONE keyed aggregation for any number of stages — the
+events table is scanned and shuffled exactly once; the greedy
+subsequence is then a pure Column fold (``array_min(filter(...))``
+cascade) over the per-stage timestamp sets, so adding a stage adds a
+scalar expression, not a scan+join. No windows, no sorts, no Python.
+Aggregation state is the per-key distinct-timestamp set per stage
+(``collect_set``) — O(events per key), the same order as any per-key
+sequence analysis; keys here are conversations/users, whose event
+counts are bounded in practice.
 """
 
 from __future__ import annotations
@@ -37,23 +41,29 @@ def funnel_stage_times(
     if not stages:
         raise ValueError("stages must be non-empty")
     ev = df.select(key_col, ts_col, type_col)
-    out = ev.groupBy(key_col).agg(
-        F.min(F.when(F.col(type_col) == stages[0], F.col(ts_col))).alias(
-            "stage_0_ts"
-        )
+    # one shuffle: per key, the distinct event times of each stage
+    # (collect_set skips the NULLs the when() leaves on other stages)
+    g = ev.groupBy(key_col).agg(
+        *[
+            F.collect_set(
+                F.when(F.col(type_col) == s, F.col(ts_col))
+            ).alias(f"_ts_{i}")
+            for i, s in enumerate(stages)
+        ]
     )
-    for i, stage in enumerate(stages[1:], start=1):
-        prev = f"stage_{i-1}_ts"
-        nxt = (
-            ev.join(out.select(key_col, prev), key_col)
-            .where(
-                (F.col(type_col) == stage) & (F.col(ts_col) > F.col(prev))
-            )
-            .groupBy(key_col)
-            .agg(F.min(ts_col).alias(f"stage_{i}_ts"))
+    # greedy fold, all scalar expressions: stage i's time is the min
+    # stage-i event strictly after stage i-1's time; an empty filter
+    # gives array_min(NULL-ish)=NULL and `x > NULL` cascades the NULL
+    out = g.withColumn("stage_0_ts", F.array_min(F.col("_ts_0")))
+    for i in range(1, len(stages)):
+        prev = F.col(f"stage_{i-1}_ts")
+        out = out.withColumn(
+            f"stage_{i}_ts",
+            F.array_min(F.filter(F.col(f"_ts_{i}"), lambda x: x > prev)),
         )
-        out = out.join(nxt, key_col, "left")
-    return out
+    return out.select(
+        key_col, *[f"stage_{i}_ts" for i in range(len(stages))]
+    )
 
 
 def funnel_counts(

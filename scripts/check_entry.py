@@ -45,7 +45,7 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -> int:
     spark = get_spark("check-entry", parallelism=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -55,6 +55,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         t0 = time.monotonic()
@@ -100,4 +102,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(*sys.argv[1:]))
+    # usage: check_entry.py [sf_dir] [query_name ...]
+    argv = sys.argv[1:]
+    sfd = argv[0] if argv and "/" in argv[0] else "/root/testdata/sf0.01"
+    names = [a for a in argv if "/" not in a]
+    sys.exit(main(sfd, names or None))

@@ -205,6 +205,25 @@ def test_ngram_auto_cap_bounds_candidates(spark):
     pairs = pair_set(ngram_jaccard_pairs_capped(df, threshold=0.6))
     assert (900, 901) in pairs  # planted dup survives the cap
     assert all(p == (900, 901) for p in pairs)
+
+    # the "auto" cap must be derived INSIDE the plan — building the
+    # pair DataFrame may not fire an eager count() (or any) action
+    import pyspark.sql.dataframe as D
+
+    def boom(self):
+        raise AssertionError("eager count() during plan construction")
+
+    orig = D.DataFrame.count
+    D.DataFrame.count = boom
+    try:
+        lazy_pairs = ngram_jaccard_pairs_capped(df, threshold=0.6)
+    finally:
+        D.DataFrame.count = orig
+    assert pair_set(lazy_pairs) == pairs
+
+    # a caller that KNOWS the corpus size short-circuits the subquery
+    known = ngram_jaccard_pairs_capped(df, threshold=0.6, n_docs=n_docs + 2)
+    assert pair_set(known) == pairs
     df.unpersist()
 
 

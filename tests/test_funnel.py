@@ -58,6 +58,18 @@ def test_funnel_matches_bruteforce(spark, events):
         assert got_depth.get(uid, 0) == want, f"user {uid}"
 
 
+def test_funnel_is_single_shuffle_any_k(spark, events):
+    """One keyed aggregation for ANY stage count: the events scan and
+    shuffle happen once; extra stages add Column expressions, not
+    joins (the pre-r4 shape re-scanned events k-1 times)."""
+    from etl_rs_spark import plans
+
+    for stages in (STAGES, STAGES + ["error", "login"]):
+        plan = plans.physical_plan(funnel_stage_times(events, stages))
+        assert plan.count("Exchange") <= 1, plan
+        assert "Join" not in plan, plan
+
+
 def test_funnel_counts_monotone(spark, events):
     c = funnel_counts(events, STAGES).toPandas().sort_values("stage_idx")
     ns = list(c.n_keys)
