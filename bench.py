@@ -53,15 +53,46 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
     # sandbox VM adds 2-4x external-load swings (see BENCH/BASELINE.md);
     # measured: identical queries at 40s cold / 7s warm. min-of-2 is
     # the same best-of-N discipline the N-vs-4N scaling harness uses.
+    # heavy entries (real merges / streaming drains inside one timed
+    # query) get a THIRD pass and a per-stage breakdown: on load-noisy
+    # days two samples cannot separate engine regression from host
+    # weather (round 3's change_data_feed 2.4x swing took an
+    # instrumented rerun to attribute — now the attribution ships in
+    # the bench JSON itself).
+    HEAVY = {
+        "change_data_feed", "verified_pairs", "ngram_jaccard_capped",
+        "stateful_user_stats", "stateful_user_stats_approx",
+    }
+    from etl_rs_spark import telemetry
+
     out: dict[str, float] = {}
-    for _pass in range(2):
-        for name, fn in entrymod.queries().items():
+    stages: dict[str, dict[str, int]] = {}
+    qs = entrymod.queries()
+    for _pass in range(3):
+        for name, fn in qs.items():
+            if _pass == 2 and name not in HEAVY:
+                continue
+            telemetry.enable()
             t0 = time.monotonic()
             df = fn(spark, sf_dir)
             n = df.count()
             dt = round(time.monotonic() - t0, 3)
+            recs = telemetry.drain()
+            if dt <= out.get(name, float("inf")) and recs:
+                # stage breakdown of the BEST pass: sum stage timers
+                # across the query's merge calls
+                agg: dict[str, int] = {}
+                for r in recs:
+                    for k, v in r.get("stage_ms", {}).items():
+                        agg[k] = agg.get(k, 0) + v
+                    agg["merge_total"] = (
+                        agg.get("merge_total", 0) + r.get("wall_ms", 0)
+                    )
+                stages[name] = agg
             out[name] = min(out.get(name, dt), dt)
             _ = n
+    telemetry.disable()
+    out["__stages__"] = stages  # popped by main()
     return out
 
 
@@ -201,8 +232,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries: dict[str, float] = {}
+    stages: dict = {}
     if not cdc_only:
         queries = run_headline_queries(spark, sf_dir)
+        stages = queries.pop("__stages__", {})
     cdc = None
     if not queries_only:
         cdc = run_cdc_bench(spark, n_events, cpus, batches=n_batches, reps=n_reps)
@@ -215,6 +248,10 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if stages:
+        # per-stage wall (ms) of each heavy query's best pass: which
+        # stage moved when a headline number moves between rounds
+        result["stages"] = stages
     if cdc is not None:
         result["cdc"] = cdc
     print(json.dumps(result))

@@ -111,6 +111,11 @@ def apply_batch(
     the exactly-once story under foreachBatch's at-least-once replay.
     """
     t0 = time.monotonic()
+    # CPU baseline for the load-immune cost metric (apply_cpu_ms):
+    # wall-clock swings with external host load, CPU spent does not
+    from etl_rs_spark.cpu import spark_cpu_ms
+
+    cpu0 = spark_cpu_ms(table.spark)
     cfg = cfg or CdcConfig()
 
     # exactly-once fast path: an already-committed (run_id, batch_id)
@@ -176,6 +181,7 @@ def apply_batch(
     try:
         t_k = time.monotonic()
         keys = discover_payload_keys(raw_winners)
+        dedup_keys_ms = int((time.monotonic() - t_k) * 1000)
         if debug:
             print(f"[apply] dedup+keys: {time.monotonic()-t_k:.1f}s")
 
@@ -253,8 +259,11 @@ def apply_batch(
     stats["run_id"] = run_id
     stats["n_events"] = n_events
     stats["dlq_rows"] = n_dlq
+    stats.setdefault("stage_ms", {})["dedup_keys"] = dedup_keys_ms
     wall_ms = int((time.monotonic() - t0) * 1000)
     stats["apply_wall_ms"] = wall_ms
+    cpu1 = spark_cpu_ms(table.spark) if cpu0 is not None else None
+    stats["apply_cpu_ms"] = (cpu1 - cpu0) if cpu1 is not None else None
 
     if lineage_dir is not None and not stats.get("skipped"):
         write_lineage(

@@ -46,7 +46,11 @@ def get_spark(
 
     if parallelism is None:
         parallelism = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{parallelism}]"
+    # SPARK_GRAFT_MASTER lets the scaling harness point the SAME job at
+    # a standalone cluster (spark://...) instead of local[N] — the
+    # multi-JVM proxy for executor scale-out (separate heaps, separate
+    # GCs). local[N] remains the default everywhere else.
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{parallelism}]"
     cores = os.cpu_count() or 8
     if shuffle_partitions is None:
         try:
@@ -74,6 +78,31 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if not master.startswith("local"):
+        builder = (
+            builder.config(
+                "spark.executor.memory",
+                os.environ.get("SPARK_EXECUTOR_MEM", "3g"),
+            )
+            .config(
+                "spark.executor.cores",
+                os.environ.get("SPARK_EXECUTOR_CORES", "1"),
+            )
+            # grab every worker the leg started — the leg IS the fleet
+            .config(
+                "spark.cores.max",
+                os.environ.get("SPARK_GRAFT_CORES_MAX", "1024"),
+            )
+            # executor python workers must import this package; on a
+            # real cluster spark-submit --py-files ships it, on the
+            # same-host standalone proxy the repo path is shared
+            .config(
+                "spark.executorEnv.PYTHONPATH",
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+                + os.pathsep
+                + os.environ.get("PYTHONPATH", ""),
+            )
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

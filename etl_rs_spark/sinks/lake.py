@@ -885,6 +885,7 @@ class LakeTable:
         # the (bucket, lsn) columns). The counts feed the skew-aware
         # write plan; the bucket set drives partition pruning.
         debug = os.environ.get("ETL_DEBUG_MERGE")
+        stage_ms: dict[str, int] = {}
         src = self._with_bucket(winners, snap)
         if batch_stats is not None:
             incoming_counts = dict(batch_stats["bucket_counts"])
@@ -896,6 +897,7 @@ class LakeTable:
                 .agg(F.count("*").alias("n"), F.max(F.col(lsn_col)).alias("hi"))
                 .collect()
             )
+            stage_ms["stats"] = int((time.monotonic() - t_stats) * 1000)
             if debug:
                 print(f"[merge] bucket/lsn stats: {time.monotonic()-t_stats:.1f}s")
             incoming_counts = {r[_BUCKET]: r["n"] for r in stats_rows}
@@ -972,6 +974,7 @@ class LakeTable:
             bucket_volume=volume,
             props=snap.props,
         )
+        stage_ms["write"] = int((time.monotonic() - t_write) * 1000)
         if debug:
             print(f"[merge] union+write: {time.monotonic()-t_write:.1f}s")
         kept = [f for f in snap.files if f["bucket"] not in set(affected)]
@@ -997,11 +1000,13 @@ class LakeTable:
             new_snap.wm_history.append(
                 [new_snap.version, new_snap.watermark_lsn]
             )
+        t_commit = time.monotonic()
         self._commit(new_snap)
+        stage_ms["commit"] = int((time.monotonic() - t_commit) * 1000)
         rows_per_bucket: dict[int, int] = {}
         for f in new_files:
             rows_per_bucket[f["bucket"]] = rows_per_bucket.get(f["bucket"], 0) + f["rows"]
-        return {
+        out_stats = {
             "version": new_snap.version,
             "skipped": False,
             "buckets_touched": affected,
@@ -1010,4 +1015,11 @@ class LakeTable:
             "schema_widened": [f.name for f in new_fields],
             "watermark_lsn": new_snap.watermark_lsn,
             "wall_ms": int((time.monotonic() - t0) * 1000),
+            "stage_ms": stage_ms,
         }
+        from etl_rs_spark import telemetry
+
+        telemetry.record(
+            "merge", {"wall_ms": out_stats["wall_ms"], "stage_ms": stage_ms}
+        )
+        return out_stats

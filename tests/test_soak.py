@@ -109,14 +109,33 @@ def test_soak_maintenance_loop(spark, tmp_path):
     assert_state_equal(table.read().toPandas(), replay(ev.toPandas()))
 
     # ---- no per-batch cost creep over the run ----------------------
+    # Gate on WORK, not wall-clock: per-batch CPU of the whole Spark
+    # runtime (python driver + JVM + UDF workers, via /proc process-
+    # tree deltas) is immune to the 2-4x external-load swings that made
+    # every wall-ratio limit on this shared VM flake eventually. A
+    # state/manifest leak compounds multiplicatively by batch ~100
+    # (O(batches) manifest scans measured 3-5x pre-compaction), far
+    # above the gate; GC/JIT variance stays well inside it.
+    cpus = [s.get("apply_cpu_ms") for s in applied]
     walls = [s["apply_wall_ms"] for s in applied]
-    early = statistics.median(walls[5:20])
-    late = statistics.median(walls[-15:])
-    # medians over windows to ride out host noise; a state/manifest
-    # leak would show up as multiplicative growth by batch ~100 (a
-    # leak compounds: O(batches) manifest scans measured 3-5x by batch
-    # 100 pre-compaction), while external-load swings on this shared VM
-    # stay under ~1.8x between two windows minutes apart
-    assert late <= 1.8 * early, f"cost creep: early={early}ms late={late}ms"
+    if all(c is not None for c in cpus):
+        early = statistics.median(cpus[5:20])
+        late = statistics.median(cpus[-15:])
+        limit = 1.5
+        kind = "cpu"
+    else:  # no /proc (non-Linux): fall back to the noisy wall gate
+        early = statistics.median(walls[5:20])
+        late = statistics.median(walls[-15:])
+        limit = 1.8
+        kind = "wall"
+    print(
+        f"soak cost-creep [{kind}]: early={early}ms late={late}ms "
+        f"ratio={late / max(early, 1):.2f} "
+        f"(wall medians {statistics.median(walls[5:20])}/"
+        f"{statistics.median(walls[-15:])}ms)"
+    )
+    assert late <= limit * early, (
+        f"{kind} cost creep: early={early}ms late={late}ms"
+    )
 
     ev.unpersist()
