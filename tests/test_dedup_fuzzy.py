@@ -163,6 +163,16 @@ def test_minhash_dedup_with_verification(spark, docs):
     none_dropped = minhash_dedup(docs, verify_threshold=1.01, threshold=0.5)
     assert none_dropped.count() == docs.count()
 
+    # the verify stage must shingle with the SAME k as the LSH stage:
+    # with a custom shingle_k this used to compute exact Jaccard over a
+    # mismatched shingle universe (and k= would TypeError in the LSH
+    # call), silently filtering on the wrong similarity
+    kept3 = minhash_dedup(
+        docs, verify_threshold=0.5, threshold=0.5, shingle_k=3
+    )
+    ids3 = {r.doc_id for r in kept3.select("doc_id").collect()}
+    assert 1 in ids3 and 4 not in ids3  # exact dup still dropped at k=3
+
 
 def test_ngram_auto_cap_bounds_candidates(spark):
     """ngram_jaccard_pairs_capped derives the cap from the data and the
