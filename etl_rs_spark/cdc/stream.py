@@ -41,6 +41,7 @@ class StreamDriver:
         checkpoint_dir: str,
         cfg: CdcConfig | None = None,
         fmt: str = "parquet",
+        source_options: dict[str, str] | None = None,
         max_files_per_trigger: int | None = None,
         coerce_spec: dict[str, str] | None = None,
         lineage_dir: str | None = None,
@@ -73,6 +74,13 @@ class StreamDriver:
         self.checkpoint_dir = checkpoint_dir
         self.cfg = cfg or CdcConfig()
         self.fmt = fmt
+        #: passed through to the stream reader — file-source tuning, or
+        #: the full bus config for fmt="kafka" (kafka.bootstrap.servers,
+        #: subscribe, startingOffsets...). With fmt="kafka" the reader
+        #: decodes each record's JSON value into the CDC envelope
+        #: (cdc/bus.decode_bus_frame) and events_dir is ignored;
+        #: requires spark-sql-kafka-0-10 on the classpath.
+        self.source_options = dict(source_options or {})
         self.max_files_per_trigger = max_files_per_trigger
         self.coerce_spec = coerce_spec
         self.lineage_dir = lineage_dir
@@ -118,11 +126,20 @@ class StreamDriver:
                 self._applied_since_compact = 0
 
     def _reader(self):
+        if self.fmt == "kafka":
+            from etl_rs_spark.cdc.bus import decode_bus_frame
+
+            reader = self.spark.readStream.format("kafka")
+            for k, v in self.source_options.items():
+                reader = reader.option(k, v)
+            return decode_bus_frame(reader.load())
         reader = (
             self.spark.readStream.schema(ENVELOPE_SCHEMA)
             .option("latestFirst", "false")
             .option("maxFilesPerTrigger", self.max_files_per_trigger or 1000)
         )
+        for k, v in self.source_options.items():
+            reader = reader.option(k, v)
         return reader.format(self.fmt).load(self.events_dir)
 
     def start(self, processing_time: str | None = None) -> StreamingQuery:
