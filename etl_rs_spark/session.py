@@ -80,7 +80,15 @@ def get_spark(
     )
     if not master.startswith("local"):
         builder = (
-            builder.config(
+            builder
+            # uniform storage (tmpfs/NVMe/object store) + small cached
+            # winner sets: waiting 3s per locality level for a slot on
+            # the caching executor serializes whole scheduling waves —
+            # measured 2x on the CDC apply path (57.8s -> 28.3s at 4
+            # executors, BENCH/BASELINE_CLUSTER.md). Run tasks where
+            # slots are free.
+            .config("spark.locality.wait", "0")
+            .config(
                 "spark.executor.memory",
                 os.environ.get("SPARK_EXECUTOR_MEM", "3g"),
             )
