@@ -741,9 +741,11 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-event funnel signup -> click -> purchase per user
-    (operators/funnel.py): greedy earliest-subsequence via k keyed
-    conditional min-aggregations — no windows, no sort. The oracle
-    mirrors the greedy exactly with correlated scalar subqueries."""
+    (operators/funnel.py): ONE keyed aggregation for any stage count —
+    per-stage timestamp sets + a greedy array_min(filter) Column fold;
+    no windows, no sorts, no joins (plan-asserted <=1 Exchange in
+    tests/test_funnel.py). The oracle mirrors the greedy exactly with
+    correlated scalar subqueries."""
     from etl_rs_spark.operators.funnel import funnel_counts
 
     e = _t(spark, sf_dir, "events")

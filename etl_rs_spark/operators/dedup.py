@@ -607,19 +607,29 @@ def _ngram_postings(
         F.explode(F.array_distinct(shingles(text_col, n))).alias("g"),
     )
     if max_doc_freq == "auto":
-        # SQL twin of auto_doc_freq_cap: greatest(16, ceil(sqrt(N)))
-        cap_df = df.agg(
-            F.greatest(F.lit(16), F.ceil(F.sqrt(F.count(F.lit(1)))))
-            .cast("long")
-            .alias("__cap")
-        )
-        hot = (
-            grams.groupBy("g")
-            .agg(F.count("*").alias("__df"))
-            .crossJoin(F.broadcast(cap_df))
-            .where(F.col("__df") > F.col("__cap"))
-            .select("g")
-        )
+        # SQL twin of auto_doc_freq_cap — greatest(16, ceil(sqrt(N))) —
+        # as a SCALAR SUBQUERY, not a 1-row broadcast join: a subquery
+        # executes as its own tiny pre-stage and adds no join node to
+        # the plan (the entries assert no BroadcastNestedLoopJoin ever
+        # appears). The temp view only anchors analysis; it is dropped
+        # immediately after (plans bind at analysis, not execution).
+        import uuid as _uuid
+
+        view = f"__ngram_cap_src_{_uuid.uuid4().hex}"
+        df.createOrReplaceTempView(view)
+        try:
+            cap = F.expr(
+                f"(SELECT greatest(16, CAST(ceil(sqrt(count(1))) AS "
+                f"BIGINT)) FROM {view})"
+            )
+            hot = (
+                grams.groupBy("g")
+                .agg(F.count("*").alias("__df"))
+                .where(F.col("__df") > cap)
+                .select("g")
+            )
+        finally:
+            df.sparkSession.catalog.dropTempView(view)
         grams = grams.join(hot, "g", "left_anti")
     elif max_doc_freq is not None:
         hot = (
