@@ -44,7 +44,6 @@ from pyspark.sql import functions as F
 from etl_rs_spark.cdc.lineage import write_lineage
 from etl_rs_spark.cdc.normalize import (
     coerce_columns,
-    discover_payload_keys,
     normalize_events,
 )
 from etl_rs_spark.config import CdcConfig
@@ -179,17 +178,45 @@ def apply_batch(
         with_stats=True,
     ).persist()
     try:
+        # ONE prescan action over the winners: per-bucket event stats
+        # (exact counts + LSN ranges for lineage, merge pruning, the
+        # skew-aware write plan) AND the distinct payload keys (schema
+        # evolution), folded into the same ≤num_buckets-row aggregation
+        # — this is also the action that materializes the winners cache
+        # and executes the DLQ-observed scan. Pre-r4 this was two
+        # sequential jobs (keys collect, then stats collect): one
+        # driver-side action per microbatch saved at any batch rate.
         t_k = time.monotonic()
-        keys = discover_payload_keys(raw_winners)
+        stat_rows = (
+            raw_winners.groupBy(
+                bucket_expr(snap.bucket_col, snap.num_buckets).alias("__b")
+            )
+            .agg(
+                F.sum(STATS_COLS[0]).alias("n"),
+                F.min(STATS_COLS[1]).alias("lo"),
+                F.max(STATS_COLS[2]).alias("hi"),
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_set(
+                            F.json_object_keys(
+                                F.coalesce(F.col("payload"), F.lit("{}"))
+                            )
+                        )
+                    )
+                ).alias("ks"),
+            )
+            .collect()
+        )
+        keys = sorted({k for r in stat_rows for k in r["ks"]})
         dedup_keys_ms = int((time.monotonic() - t_k) * 1000)
         if debug:
-            print(f"[apply] dedup+keys: {time.monotonic()-t_k:.1f}s")
+            print(f"[apply] dedup+prescan: {time.monotonic()-t_k:.1f}s")
 
         n_dlq = 0
         if dlq_obs is not None:
             try:
-                # the winners job above executed the observed scan, so
-                # the metric is available without any further action
+                # the prescan above executed the observed scan, so the
+                # metric is available without any further action
                 n_dlq = int(dlq_obs.get["n_bad"] or 0)
             except Exception:
                 # Catalyst can optimize the observed scan away entirely
@@ -202,23 +229,6 @@ def apply_batch(
                     envelope, cfg, run_id=run_id, batch_id=batch_id
                 )
 
-        # per-bucket batch stats from the cached winners (bucket is a
-        # pure function of the key): exact event counts + LSN ranges for
-        # lineage, the merge's pruning and its skew-aware write plan.
-        t_s = time.monotonic()
-        stat_rows = (
-            raw_winners.groupBy(
-                bucket_expr(snap.bucket_col, snap.num_buckets).alias("__b")
-            )
-            .agg(
-                F.sum(STATS_COLS[0]).alias("n"),
-                F.min(STATS_COLS[1]).alias("lo"),
-                F.max(STATS_COLS[2]).alias("hi"),
-            )
-            .collect()
-        )
-        if debug:
-            print(f"[apply] bucket stats: {time.monotonic()-t_s:.1f}s")
         per_bucket = {
             r["__b"]: {"n": r["n"], "min_lsn": r["lo"], "max_lsn": r["hi"]}
             for r in stat_rows
