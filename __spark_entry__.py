@@ -801,6 +801,64 @@ def q_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_schema_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-place type promotion under the oracle (Iceberg schema
+    evolution: int -> long). Batch 1 merges a `score` column as INT;
+    batch 2 arrives with `score` as BIGINT carrying values beyond the
+    int32 range, which promotes the table column in place
+    (sinks/lake._promote_type) — batch-1 files are then read back
+    through the widened schema (Spark 4 widening parquet read). The
+    oracle recomputes the same LWW final state in DuckDB with the score
+    expression cast per batch membership."""
+    import tempfile
+
+    from etl_rs_spark.sinks.lake import LakeTable
+
+    e = _t(spark, sf_dir, "events")
+    split = int(e.agg(F.max("event_id")).first()[0]) // 2
+    def _batch(pred, score_col):
+        return e.where(pred).select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            score_col.alias("score"),
+        )
+
+    b1 = _batch(
+        F.col("event_id") <= split, F.floor(F.col("value") * 100).cast("int")
+    )
+    b2 = _batch(
+        F.col("event_id") > split,
+        F.floor(F.col("value") * 100).cast("long") + F.lit(2**35),
+    )
+    work = tempfile.mkdtemp(prefix="promo-entry-")
+    t = LakeTable.create(
+        spark,
+        f"{work}/t",
+        "conv_id string, turn_idx int, score int, ts timestamp",
+        num_buckets=8,
+    )
+    t.merge(
+        lww_dedup(b1, keys=["conv_id", "turn_idx"], order_cols=["ts", "lsn"]),
+        run_id="promo",
+        batch_id=0,
+    )
+    t.merge(
+        lww_dedup(b2, keys=["conv_id", "turn_idx"], order_cols=["ts", "lsn"]),
+        run_id="promo",
+        batch_id=1,
+    )
+    sch = {f.name: f.dataType.simpleString() for f in t.current().schema().fields}
+    assert sch["score"] == "bigint", f"score not promoted: {sch}"
+    return t.read().select(
+        F.col("conv_id").cast("long").alias("user_id"), "score", "ts"
+    )
+
+
 # -------------------------------------------------------------- contract --
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -847,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "funnel": q_funnel,
         "change_data_feed": q_change_data_feed,
+        "cdc_schema_promotion": q_cdc_schema_promotion,
     }
 
 
@@ -1369,6 +1428,23 @@ def oracle_sql() -> dict[str, str]:
                    lsn AS _lsn
             FROM w, split
             WHERE rn = 1 AND lsn > wm
+        """,
+        "cdc_schema_promotion": """
+            WITH split AS (SELECT max(event_id) // 2 AS wm FROM events),
+            w AS (
+                SELECT user_id, ts, event_id AS lsn, event_type,
+                       CASE WHEN event_id <= (SELECT wm FROM split)
+                            THEN CAST(floor(value * 100) AS BIGINT)
+                            ELSE CAST(floor(value * 100) AS BIGINT)
+                                 + 34359738368 END AS score,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events
+            )
+            SELECT user_id, score, ts
+            FROM w
+            WHERE rn = 1 AND event_type <> 'error'
         """,
         # minhash_pairs / simhash_fingerprints: intentionally no oracle
         # (engine-defined xxhash64-based hash families DuckDB cannot

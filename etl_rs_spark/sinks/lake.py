@@ -20,7 +20,9 @@ interface an Iceberg-backed implementation can replace verbatim
   greater. Re-applying any batch, in any order, converges to the same
   state — the idempotence that makes checkpoint replay exactly-once.
 - **additive schema evolution**: new source columns widen the table
-  schema in place; old files are read with the widened schema and
+  schema in place, and Iceberg-legal type promotions (int->long,
+  float->double, decimal precision growth) widen an existing column's
+  type in place; old files are read with the widened schema and
   null-backfill (Spark's parquet reader fills missing columns).
 - **time travel**: ``read(version=...)`` — the reference's
   DeltaExtractor honors with_version the same way
@@ -103,6 +105,33 @@ def _footer_stats_many(paths: list[str]) -> dict[str, dict[str, Any]]:
 
     with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
         return dict(zip(paths, ex.map(_footer_stats, paths)))
+
+
+def _promote_type(
+    cur: T.DataType, new: T.DataType
+) -> T.DataType | None:
+    """Iceberg-legal in-place type promotion (Iceberg spec, Schema
+    Evolution): ``int -> long``, ``float -> double``, and
+    ``decimal(P,S) -> decimal(P',S)`` with ``P' > P``. Returns the
+    promoted type, or None when ``new`` does not widen ``cur``.
+
+    Files written before a promotion stay readable under the widened
+    schema because Spark 4's parquet readers perform the matching
+    widening read (SPARK-40876); `read()`/`changes()`/the merge's
+    current-state scan all pass the promoted schema explicitly, so the
+    upcast happens in the scan, not in a rewrite."""
+    if cur == T.IntegerType() and new == T.LongType():
+        return new
+    if cur == T.FloatType() and new == T.DoubleType():
+        return new
+    if (
+        isinstance(cur, T.DecimalType)
+        and isinstance(new, T.DecimalType)
+        and new.scale == cur.scale
+        and new.precision > cur.precision
+    ):
+        return new
+    return None
 
 
 def _with_meta_cols(schema: T.StructType) -> T.StructType:
@@ -838,7 +867,11 @@ class LakeTable:
           incoming (ts,lsn) >  stored (ts,_lsn): op D deletes, I/U upserts
           incoming (ts,lsn) <= stored           : no-op (idempotent replay)
         New payload columns widen the schema in place (additive
-        evolution); deletes resurrect if a later-LSN insert follows.
+        evolution), and an existing column arriving with an
+        Iceberg-promotable wider type (int->long, float->double,
+        decimal precision growth) promotes the table column in place
+        (see _promote_type); deletes resurrect if a later-LSN insert
+        follows.
 
         ``batch_stats`` (optional): precomputed per-bucket source stats,
         ``{"bucket_counts": {bucket: n_rows}, "hi_lsn": int}`` — e.g.
@@ -871,6 +904,34 @@ class LakeTable:
             f for f in winners.schema.fields if f.name not in reserved
         ]
         new_fields = [f for f in incoming_payload if f.name not in table_cols]
+        # -- in-place type promotion: an existing column arriving with an
+        # Iceberg-promotable wider type (int->long, float->double,
+        # decimal precision growth) widens the table column rather than
+        # down-casting the incoming values. Non-promotable mismatches
+        # keep the table type (incoming is cast to it below), matching
+        # Iceberg's rule that only widening changes the schema.
+        promotions = {}
+        if incoming_payload:
+            by_name = {f.name: f for f in schema.fields}
+            for f in incoming_payload:
+                cur_f = by_name.get(f.name)
+                if cur_f is None:
+                    continue
+                p = _promote_type(cur_f.dataType, f.dataType)
+                if p is not None:
+                    promotions[f.name] = p
+        if promotions:
+            schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        promotions.get(f.name, f.dataType),
+                        f.nullable,
+                        f.metadata,
+                    )
+                    for f in schema.fields
+                ]
+            )
         if new_fields:
             for f in new_fields:
                 schema = schema.add(f.name, f.dataType)
@@ -1013,6 +1074,9 @@ class LakeTable:
             "files_written": len(new_files),
             "rows_per_bucket": rows_per_bucket,  # post-merge state rows (footers)
             "schema_widened": [f.name for f in new_fields],
+            "schema_promoted": {
+                k: v.simpleString() for k, v in promotions.items()
+            },
             "watermark_lsn": new_snap.watermark_lsn,
             "wall_ms": int((time.monotonic() - t0) * 1000),
             "stage_ms": stage_ms,

@@ -634,3 +634,66 @@ def test_changes_feed_prunes_untouched_files(spark, tmp_path):
         f.get("max_lsn") is not None and f.get("min_lsn") is not None
         for f in t.current().files
     )
+
+
+def test_merge_promotes_column_types_in_place(spark, tmp_path):
+    """An existing column arriving with an Iceberg-promotable wider type
+    (int->long, float->double, decimal precision growth) widens the
+    table column in place; files written before the promotion are read
+    back through the widened schema (Spark 4 widening parquet read,
+    SPARK-40876) with values intact, and a later narrow-typed batch
+    does not narrow the schema back."""
+    ts = __import__("datetime").datetime(2024, 1, 1)
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        "k string, score int, ratio float, amt decimal(10,2), ts timestamp",
+        key_cols=("k",),
+        order_cols=("ts", "lsn"),
+        bucket_col="k",
+        num_buckets=2,
+    )
+    first = spark.range(10).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+        F.col("id").cast("int").alias("score"),
+        (F.col("id") / 2).cast("float").alias("ratio"),
+        F.col("id").cast("decimal(10,2)").alias("amt"),
+        F.lit(ts).alias("ts"),
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+    )
+    stats = t.merge(first, run_id="r", batch_id=0)
+    assert stats["schema_promoted"] == {}
+
+    second = spark.createDataFrame(
+        [("k1", 2**40, 0.25, __import__("decimal").Decimal("123.45"), ts, 100, "U"),
+         ("knew", 7, 1.5, __import__("decimal").Decimal("1.00"), ts, 101, "I")],
+        "k string, score long, ratio double, amt decimal(12,2), ts timestamp, lsn long, op string",
+    )
+    stats = t.merge(second, run_id="r", batch_id=1)
+    assert stats["schema_promoted"] == {
+        "score": "bigint", "ratio": "double", "amt": "decimal(12,2)",
+    }
+    sch = {f.name: f.dataType.simpleString() for f in t.current().schema().fields}
+    assert sch["score"] == "bigint"
+    assert sch["ratio"] == "double"
+    assert sch["amt"] == "decimal(12,2)"
+
+    got = {r["k"]: (r["score"], r["ratio"], r["amt"]) for r in t.read().collect()}
+    assert len(got) == 11
+    assert got["k1"][0] == 2**40 and got["k1"][1] == 0.25
+    assert str(got["k1"][2]) == "123.45"
+    # pre-promotion rows (possibly in untouched buckets/files) read back
+    # through the widened schema, values intact
+    assert got["k2"][0] == 2 and got["k2"][1] == 1.0
+    assert str(got["k2"][2]) == "2.00"
+
+    third = spark.createDataFrame(
+        [("k3", 3, 9.0, ts, 102, "U")],
+        "k string, score int, ratio float, ts timestamp, lsn long, op string",
+    )
+    stats = t.merge(third, run_id="r", batch_id=2)
+    assert stats["schema_promoted"] == {}
+    sch = {f.name: f.dataType.simpleString() for f in t.current().schema().fields}
+    assert sch["score"] == "bigint" and sch["ratio"] == "double"
+    assert t.read().where(F.col("k") == "k3").collect()[0]["score"] == 3
