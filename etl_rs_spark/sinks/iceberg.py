@@ -83,6 +83,31 @@ class IcebergTable:
                 f"ALTER TABLE {self.table} ADD COLUMN IF NOT EXISTS {name} {typ}"
             )
 
+    def promote(self, winners: DataFrame) -> dict[str, str]:
+        """Iceberg-legal in-place type promotion before MERGE (same
+        lattice as LakeTable: int->long, float->double, decimal
+        precision growth — exactly the ALTER COLUMN TYPE changes the
+        Iceberg spec permits). Returns {column: widened_type}."""
+        from etl_rs_spark.sinks.lake import _promote_type
+
+        existing = {
+            f.name: f.dataType
+            for f in self.spark.read.table(self.table).schema.fields
+        }
+        out: dict[str, str] = {}
+        for f in winners.schema.fields:
+            cur = existing.get(f.name)
+            if cur is None:
+                continue
+            p = _promote_type(cur, f.dataType)
+            if p is not None:
+                typ = p.simpleString()
+                self.spark.sql(
+                    f"ALTER TABLE {self.table} ALTER COLUMN {f.name} TYPE {typ}"
+                )
+                out[f.name] = typ
+        return out
+
     def merge(
         self,
         winners: DataFrame,
@@ -100,6 +125,7 @@ class IcebergTable:
             if f.name not in ("op", "lsn")
         }
         self.widen({k: v for k, v in incoming.items() if k not in existing})
+        promoted = self.promote(winners)
 
         cols = [c for c in winners.columns if c not in ("op", "lsn")]
         winners.createOrReplaceTempView("__cdc_src")
@@ -119,4 +145,9 @@ class IcebergTable:
               THEN INSERT ({ins_cols}) VALUES ({ins_vals})
             """
         )
-        return {"table": self.table, "batch_id": batch_id, "run_id": run_id}
+        return {
+            "table": self.table,
+            "batch_id": batch_id,
+            "run_id": run_id,
+            "schema_promoted": promoted,
+        }

@@ -103,3 +103,34 @@ def test_merge_widens_schema_additively(ice_spark):
     assert "lang" in df.columns
     got = {r.conv_id: r.lang for r in df.collect()}
     assert got == {"a": None, "b": "en"}
+
+
+def test_merge_promotes_types_in_place(ice_spark):
+    """Iceberg-legal type promotion via ALTER COLUMN TYPE: a column
+    arriving int->long widens the table column; pre-promotion rows and
+    a beyond-int32 value both survive."""
+    t = IcebergTable.create(
+        ice_spark,
+        "lake.db.promote",
+        "conv_id STRING, turn_idx INT, score INT, ts TIMESTAMP",
+        num_buckets=4,
+    )
+    t.merge(
+        ice_spark.createDataFrame(
+            [("a", 0, 7, TS, 1, "U")],
+            "conv_id string, turn_idx int, score int, ts timestamp, "
+            "lsn long, op string",
+        )
+    )
+    stats = t.merge(
+        ice_spark.createDataFrame(
+            [("b", 0, 2**40, TS, 2, "U")],
+            "conv_id string, turn_idx int, score long, ts timestamp, "
+            "lsn long, op string",
+        )
+    )
+    assert stats["schema_promoted"] == {"score": "bigint"}
+    df = t.read()
+    assert dict(df.dtypes)["score"] == "bigint"
+    got = {r.conv_id: r.score for r in df.collect()}
+    assert got == {"a": 7, "b": 2**40}
