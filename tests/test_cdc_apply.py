@@ -163,3 +163,59 @@ def test_two_stage_salted_dedup_same_result(spark, tmp_path, stream):
         t2, env, batch_id=0, run_id="r", cfg=CdcConfig(salt_buckets=8)
     )
     assert_state_equal(t2.read().toPandas(), t1.read().toPandas())
+
+
+def test_coerce_spec_widening_promotes_across_restart(spark, tmp_path):
+    """Operational promotion scenario: a deploy first coerces a payload
+    key to int; a later deploy (new run over the same table) widens the
+    coercion to long and the stream starts carrying beyond-int32
+    values. The second apply promotes the table column in place
+    (int -> bigint) through the full normalize -> coerce -> merge
+    path; pre-promotion rows read back intact."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    table = make_table(spark, tmp_path)
+
+    def env(rows):
+        data = [
+            (
+                lsn,
+                "I",
+                cid,
+                0,
+                dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+                + dt.timedelta(seconds=lsn),
+                json.dumps({"text": "t", "score": score}),
+            )
+            for (lsn, cid, score) in rows
+        ]
+        return spark.createDataFrame(
+            data,
+            "lsn long, op string, conv_id string, turn_idx int, "
+            "ts timestamp, payload string",
+        )
+
+    apply_batch(
+        table,
+        env([(1, "a", 7), (2, "b", 9)]),
+        batch_id=0,
+        run_id="deploy1",
+        coerce_spec={"score": "int"},
+    )
+    assert (
+        dict(table.read().dtypes)["score"] == "int"
+    ), dict(table.read().dtypes)
+
+    stats = apply_batch(
+        table,
+        env([(3, "c", 2**40)]),
+        batch_id=0,
+        run_id="deploy2",
+        coerce_spec={"score": "long"},
+    )
+    assert stats["schema_promoted"] == {"score": "bigint"}, stats
+    got = {r["conv_id"]: r["score"] for r in table.read().collect()}
+    assert got == {"a": 7, "b": 9, "c": 2**40}
+    assert dict(table.read().dtypes)["score"] == "bigint"
