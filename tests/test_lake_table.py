@@ -697,3 +697,46 @@ def test_merge_promotes_column_types_in_place(spark, tmp_path):
     sch = {f.name: f.dataType.simpleString() for f in t.current().schema().fields}
     assert sch["score"] == "bigint" and sch["ratio"] == "double"
     assert t.read().where(F.col("k") == "k3").collect()[0]["score"] == 3
+
+
+def test_changes_across_promotion_window(spark, tmp_path):
+    """A CDF window spanning a type promotion reads every in-window file
+    through the TO-snapshot's (widened) schema — including untouched
+    buckets' pre-promotion files when the watermark forces them open —
+    and surfaces the post-promotion values at the widened type."""
+    ts = __import__("datetime").datetime(2024, 1, 1)
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        "k string, score int, ts timestamp",
+        key_cols=("k",),
+        order_cols=("ts", "lsn"),
+        bucket_col="k",
+        num_buckets=4,
+    )
+    first = spark.range(20).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+        F.col("id").cast("int").alias("score"),
+        F.lit(ts).alias("ts"),
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+    )
+    t.merge(first, run_id="r", batch_id=0)
+    second = spark.createDataFrame(
+        [("k1", 2**40, ts, 100, "U")],
+        "k string, score long, ts timestamp, lsn long, op string",
+    )
+    t.merge(second, run_id="r", batch_id=1)
+
+    # window spanning creation -> promotion: opens pre-promotion files
+    feed_all = t.changes(0)
+    assert dict(feed_all.dtypes)["score"] == "bigint"
+    got = {r["k"]: r["score"] for r in feed_all.collect()}
+    assert len(got) == 20 and got["k1"] == 2**40 and got["k2"] == 2
+
+    # increment window: only the promoted batch
+    feed = t.changes(1)
+    rows = feed.collect()
+    assert [(r["k"], r["score"], r["_change_type"]) for r in rows] == [
+        ("k1", 2**40, "upsert")
+    ]
