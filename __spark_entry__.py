@@ -641,6 +641,49 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("asset_id", "frame_idx")
 
 
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the oracle: every document id gets a real
+    encoded solid-color image (format cycles ppm/bmp/pgm by id%3), the
+    pure-numpy decode kernels (functions/codecs.py) recover the pixels,
+    and the decoded dimensions + per-channel means are hash-checked
+    against their closed forms. A bit-level bug in any of the three
+    codecs (header parse, BMP row padding/BGR order, PNM comments)
+    breaks the hash."""
+    from etl_rs_spark.operators.multimodal import image_assets_from_ids, image_stats
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    return image_stats(image_assets_from_ids(ids))
+
+
+def q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize round-trip under the oracle: decode -> bilinear
+    resample to 6x5 -> re-encode in the SAME format -> decode again.
+    Bilinear over a solid color is exactly constant, so the post-resize
+    stats are closed-form: dimensions become (6,5), channel means are
+    unchanged, format survives the re-encode."""
+    from etl_rs_spark.operators.multimodal import (
+        image_assets_from_ids,
+        image_stats,
+        resize_images,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    resized = resize_images(image_assets_from_ids(ids), 6, 5, fake=False)
+    return image_stats(resized)
+
+
+def q_audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode under the oracle: each document id gets a real
+    PCM-16 RIFF/WAVE blob (8 kHz, constant amplitude id%2000-1000,
+    2+id%3 frames of 25 ms), the numpy codec parses the chunks, and
+    per-frame sample counts + RMS are hash-checked against their closed
+    forms (RMS of a constant signal = |amp|/32768, exact in float64)."""
+    from etl_rs_spark.operators.multimodal import wav_assets_from_ids, wav_frames
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    return wav_frames(wav_assets_from_ids(ids), every_ms=25)
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/temporal.py): every click event picks up
     the user's most recent purchase at-or-before it — the union + single
@@ -898,6 +941,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "multimodal_resize": q_multimodal_resize,
         "audio_frames": q_audio_frames,
+        "image_decode_stats": q_image_decode_stats,
+        "image_resize_stats": q_image_resize_stats,
+        "audio_frame_rms": q_audio_frame_rms,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "time_rollup": q_time_rollup,
@@ -1315,6 +1361,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT asset_id, CAST(f AS INTEGER) AS frame_idx FROM (
                 SELECT doc_id AS asset_id,
                        unnest(generate_series(0, (n_chars % 5 + 1) - 1)) AS f
+                FROM documents
+            )
+        """,
+        # closed-form stats of the REAL decoded solid-color assets:
+        # format cycles ppm/bmp/pgm, w=8+id%9, h=8+id%7, solid color
+        # (id%256, 7id%256, 13id%256); grayscale replicates id%256
+        "image_decode_stats": """
+            SELECT doc_id AS asset_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                        ELSE 'pgm' END AS fmt,
+                   CAST(8 + doc_id % 9 AS INTEGER) AS width,
+                   CAST(8 + doc_id % 7 AS INTEGER) AS height,
+                   CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 256
+                        ELSE (7 * doc_id) % 256 END AS DOUBLE) AS mean_g,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 256
+                        ELSE (13 * doc_id) % 256 END AS DOUBLE) AS mean_b
+            FROM documents
+        """,
+        # bilinear resize of a solid color: dims become (6,5), means and
+        # format are invariant
+        "image_resize_stats": """
+            SELECT doc_id AS asset_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                        ELSE 'pgm' END AS fmt,
+                   CAST(6 AS INTEGER) AS width,
+                   CAST(5 AS INTEGER) AS height,
+                   CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 256
+                        ELSE (7 * doc_id) % 256 END AS DOUBLE) AS mean_g,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 256
+                        ELSE (13 * doc_id) % 256 END AS DOUBLE) AS mean_b
+            FROM documents
+        """,
+        # 2+id%3 frames of exactly 200 samples at constant amplitude:
+        # RMS = |id%2000-1000| / 32768, exact in float64
+        "audio_frame_rms": """
+            SELECT asset_id,
+                   CAST(f AS INTEGER) AS frame_idx,
+                   CAST(200 AS INTEGER) AS n_samples,
+                   CAST(ABS(asset_id % 2000 - 1000) AS DOUBLE) / 32768.0
+                       AS rms
+            FROM (
+                SELECT doc_id AS asset_id,
+                       unnest(generate_series(0, 1 + doc_id % 3)) AS f
                 FROM documents
             )
         """,

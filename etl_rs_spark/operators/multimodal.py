@@ -1,12 +1,18 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed in Arrow batches via mapInPandas.
 
-The Spark-side plumbing is real and tested — schemas, partition-aware
-batch iteration, UDF signatures, output shapes. The decode kernels
-themselves are gated: this container ships no image/audio libraries, so
-decode attempts raise NotImplementedError unless ``fake=True`` selects
-the deterministic stand-in (a seeded feature vector derived from the
-byte content) that exercises the full distributed path end-to-end.
+The decode kernels are REAL for every format a pure-numpy codec can
+handle — binary PPM/PGM, 24-bit BMP, PCM-16 WAV (functions/codecs.py)
+— covering decode, feature extraction, bilinear resize + re-encode, and
+frame sampling end-to-end with no external media library. Compressed
+formats (PNG/JPEG/...) route through PIL when it is importable and
+raise a format-naming NotImplementedError when it is not (this
+container ships no PIL). ``fake=True`` still selects the seeded
+stand-in kernels that exercise the distributed plumbing with arbitrary
+bytes.
+
+Reference parity note: silvanoneto/etl-rs has no media handling; this
+module is part of the training-data operator suite beyond parity.
 """
 
 from __future__ import annotations
@@ -19,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from etl_rs_spark.functions import codecs
 
 #: canonical multimodal schemas: payload bytes + typed metadata
 IMAGE_SCHEMA = T.StructType(
@@ -52,10 +60,32 @@ def _have_pil() -> bool:
         return False
 
 
+def _decode_any_image(blob: bytes) -> np.ndarray:
+    """Decode via the numpy codecs, falling back to PIL for compressed
+    formats when it is importable; raises naming the format otherwise."""
+    try:
+        return codecs.decode_image(blob)
+    except NotImplementedError:
+        if not _have_pil():
+            raise
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(bytes(blob))))
+
+
+def _as_rgb(px: np.ndarray) -> np.ndarray:
+    """(h, w) gray or (h, w, n>=3) -> (h, w, 3) float64."""
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    return px[:, :, :3].astype(np.float64)
+
+
 def _fake_features(blobs: pd.Series, dim: int) -> list[list[float]]:
     """Deterministic stand-in 'decoder': bytes -> unit feature vector via
     sha256 expansion. Stable across runs/machines; exercises the exact
-    Arrow batch shapes a real decoder would produce."""
+    Arrow batch shapes the real decoder produces."""
     out = []
     for b in blobs:
         if b is None:
@@ -69,6 +99,28 @@ def _fake_features(blobs: pd.Series, dim: int) -> list[list[float]]:
     return out
 
 
+def _real_features(blobs: pd.Series, dim: int) -> list[list[float] | None]:
+    """Real kernel: decode, then [w, h, channel means (3), channel stds
+    (3), 8-bin normalized luminance histogram] padded/truncated to dim."""
+    out: list[list[float] | None] = []
+    for b in blobs:
+        if b is None:
+            out.append(None)
+            continue
+        px = _as_rgb(_decode_any_image(b))
+        h, w = px.shape[:2]
+        means = px.reshape(-1, 3).mean(axis=0)
+        stds = px.reshape(-1, 3).std(axis=0)
+        lum = px.mean(axis=2)
+        hist, _ = np.histogram(lum, bins=8, range=(0.0, 256.0))
+        hist = hist / lum.size
+        v = np.concatenate(([float(w), float(h)], means, stds, hist))
+        if len(v) < dim:
+            v = np.pad(v, (0, dim - len(v)))
+        out.append([float(x) for x in v[:dim]])
+    return out
+
+
 def extract_image_features(
     df: DataFrame,
     content_col: str = "content",
@@ -77,14 +129,8 @@ def extract_image_features(
     fake: bool = False,
 ) -> DataFrame:
     """(id, content-binary) -> (id, features array<double>). Arrow
-    batches through mapInPandas; one numpy pass per batch."""
-    use_fake = fake or not _have_pil()
-    if not fake and not _have_pil():
-        raise NotImplementedError(
-            "image decode requires PIL/pillow (not in this container); "
-            "pass fake=True for the deterministic stand-in decoder"
-        )
-
+    batches through mapInPandas; one numpy pass per image. The real
+    kernel decodes ppm/pgm/bmp natively (PIL for compressed formats)."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -93,16 +139,47 @@ def extract_image_features(
     )
 
     def gen(batches: Iterable[pd.DataFrame]):
+        kern = _fake_features if fake else _real_features
         for b in batches:
-            if not use_fake:
-                # no real PIL kernel exists yet: failing loudly beats
-                # silently emitting NULL features the day PIL appears
-                raise NotImplementedError(
-                    "real image feature kernel not implemented; "
-                    "pass fake=True for the deterministic stand-in"
+            yield pd.DataFrame({id_col: b[id_col], "features": kern(b[content_col], dim)})
+
+    return df.select(id_col, content_col).mapInPandas(gen, schema)
+
+
+def image_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Real decode kernel -> (id, fmt, width, height, mean_r/g/b).
+
+    Per-channel means of a decoded image are analytically predictable
+    for synthetic solid-color assets, which makes this the oracle-
+    checkable face of the decoder (entry ``image_decode_stats``)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]):
+        for b in batches:
+            rows = []
+            for aid, blob in zip(b[id_col], b[content_col]):
+                px = _as_rgb(_decode_any_image(blob))
+                m = px.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (aid, codecs.sniff(blob), px.shape[1], px.shape[0], m[0], m[1], m[2])
                 )
-            feats = _fake_features(b[content_col], dim)
-            yield pd.DataFrame({id_col: b[id_col], "features": feats})
+            yield pd.DataFrame(
+                rows, columns=[id_col, "fmt", "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
 
     return df.select(id_col, content_col).mapInPandas(gen, schema)
 
@@ -114,29 +191,41 @@ def resize_images(
     content_col: str = "content",
     fake: bool = False,
 ) -> DataFrame:
-    """Resize kernel: real plumbing (schema preserved, width/height
-    metadata updated), stub kernel (content passthrough) without PIL."""
-    if not fake and not _have_pil():
-        raise NotImplementedError(
-            "image resize requires PIL/pillow; pass fake=True to exercise "
-            "the pipeline with passthrough bytes"
-        )
+    """Resize kernel. Real path: decode (numpy codecs, PIL fallback),
+    bilinear resample, re-encode in the SAME format; width/height
+    metadata columns updated. ``fake=True`` keeps the byte-passthrough
+    stand-in for plumbing tests with arbitrary blobs."""
     out_schema = df.schema
+
+    def resize_one(blob):
+        if blob is None:
+            return None
+        fmt = codecs.sniff(blob)
+        if fmt in ("ppm", "pgm", "bmp"):
+            px = codecs.decode_image(blob)
+            return codecs.encode_image(codecs.resize_bilinear(px, width, height), fmt)
+        if _have_pil():
+            import io
+
+            from PIL import Image
+
+            im = Image.open(io.BytesIO(bytes(blob)))
+            buf = io.BytesIO()
+            im.resize((width, height)).save(buf, format=im.format)
+            return buf.getvalue()
+        raise NotImplementedError(
+            f"no built-in resize for format '{fmt}' and PIL is unavailable"
+        )
 
     def gen(batches: Iterable[pd.DataFrame]):
         for b in batches:
-            if not fake:
-                # PIL may be importable, but no real resize kernel is
-                # implemented — passthrough bytes must stay opt-in
-                raise NotImplementedError(
-                    "real image resize kernel not implemented; "
-                    "pass fake=True for passthrough bytes"
-                )
             b = b.copy()
+            if not fake:
+                b[content_col] = [resize_one(x) for x in b[content_col]]
             if "width" in b.columns:
-                b["width"] = width
+                b["width"] = np.int32(width)
             if "height" in b.columns:
-                b["height"] = height
+                b["height"] = np.int32(height)
             yield b
 
     return df.mapInPandas(gen, out_schema)
@@ -151,12 +240,9 @@ def sample_audio_frames(
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame with a
     deterministic frame fingerprint (UDTF-style 1->N expansion through
-    mapInPandas)."""
-    if not fake:
-        raise NotImplementedError(
-            "audio decode requires an audio library (not in this "
-            "container); pass fake=True for the deterministic stand-in"
-        )
+    mapInPandas). Real path decodes PCM-16 WAV with the numpy codec and
+    fingerprints the actual PCM frame bytes; fake path derives frames
+    from duration metadata for arbitrary blobs."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -165,21 +251,72 @@ def sample_audio_frames(
         ]
     )
 
+    def fingerprint(raw: bytes, i: int) -> int:
+        digest = hashlib.sha256(raw + i.to_bytes(4, "little")).digest()
+        return int.from_bytes(digest[:8], "little", signed=True)
+
     def gen(batches: Iterable[pd.DataFrame]):
         for b in batches:
             ids, idxs, hashes = [], [], []
-            for aid, blob, dur in zip(
-                b[id_col], b[content_col], b.get("duration_ms", pd.Series([1000] * len(b)))
-            ):
-                n = max(int((dur or 1000) // every_ms), 1)
+            durs = b.get("duration_ms", pd.Series([1000] * len(b)))
+            for aid, blob, dur in zip(b[id_col], b[content_col], durs):
+                if fake:
+                    n = max(int((dur or 1000) // every_ms), 1)
+                    for i in range(n):
+                        ids.append(aid)
+                        idxs.append(i)
+                        hashes.append(fingerprint(bytes(blob or b""), i))
+                    continue
+                samples, rate = codecs.decode_wav(blob)
+                mono = samples if samples.ndim == 1 else samples.mean(axis=1).astype(np.int16)
+                step = max(int(rate * every_ms / 1000), 1)
+                n = max(-(-len(mono) // step), 1)
                 for i in range(n):
                     ids.append(aid)
                     idxs.append(i)
-                    digest = hashlib.sha256(bytes(blob or b"") + i.to_bytes(4, "little")).digest()
-                    hashes.append(int.from_bytes(digest[:8], "little", signed=True))
+                    hashes.append(fingerprint(mono[i * step : (i + 1) * step].tobytes(), i))
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_hash": hashes})
 
     return df.mapInPandas(gen, schema)
+
+
+def wav_frames(
+    df: DataFrame,
+    every_ms: int = 25,
+    content_col: str = "content",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Real WAV frame analysis -> (id, frame_idx, n_samples, rms).
+
+    RMS is over int16 samples normalized by 32768, exact for the
+    constant-amplitude synthetic assets so the DuckDB oracle can verify
+    the decoder analytically (entry ``audio_frame_rms``)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]):
+        for b in batches:
+            rows = []
+            for aid, blob in zip(b[id_col], b[content_col]):
+                samples, rate = codecs.decode_wav(blob)
+                mono = samples if samples.ndim == 1 else samples[:, 0]
+                step = max(int(rate * every_ms / 1000), 1)
+                for i in range(max(-(-len(mono) // step), 1)):
+                    fr = mono[i * step : (i + 1) * step].astype(np.float64)
+                    rms = float(np.sqrt(np.mean(fr * fr)) / 32768.0) if len(fr) else 0.0
+                    rows.append((aid, i, len(fr), rms))
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "n_samples", "rms"])
+
+    return df.select(id_col, content_col).mapInPandas(gen, schema)
+
+
+# ----------------------------------------------------------- test fixtures --
 
 
 def gen_fake_assets(spark, n: int = 100, seed: int = 42) -> DataFrame:
@@ -197,3 +334,60 @@ def gen_fake_assets(spark, n: int = 100, seed: int = 42) -> DataFrame:
         .alias("height"),
     )
     return base
+
+
+def image_assets_from_ids(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Attach REAL encoded image blobs to an id column, deterministically:
+    format cycles ppm/bmp/pgm by id%3, width=8+id%9, height=8+id%7,
+    solid color r=id%256 g=(7*id)%256 b=(13*id)%256 (gray = id%256).
+
+    Solid colors make every decoded statistic a closed-form function of
+    the id — the basis of the analytic DuckDB oracles."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]):
+        for b in batches:
+            blobs = []
+            for aid in b[id_col]:
+                i = int(aid)
+                w, h = 8 + i % 9, 8 + i % 7
+                if i % 3 == 2:
+                    px = np.full((h, w), i % 256, dtype=np.uint8)
+                    blobs.append(codecs.encode_pgm(px))
+                else:
+                    color = np.array([i % 256, (7 * i) % 256, (13 * i) % 256], dtype=np.uint8)
+                    px = np.broadcast_to(color, (h, w, 3)).copy()
+                    blobs.append(codecs.encode_ppm(px) if i % 3 == 0 else codecs.encode_bmp(px))
+            yield pd.DataFrame({id_col: b[id_col], "content": blobs})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(gen, schema)
+
+
+def wav_assets_from_ids(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Attach REAL PCM-16 WAV blobs to an id column, deterministically:
+    8 kHz mono, constant amplitude (id%2000)-1000, duration
+    25ms * (2 + id%3) — so every 25 ms frame has exactly 200 samples
+    and RMS |amp|/32768, closed-form for the oracle."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]):
+        for b in batches:
+            blobs = []
+            for aid in b[id_col]:
+                i = int(aid)
+                amp = i % 2000 - 1000
+                n = 200 * (2 + i % 3)
+                blobs.append(codecs.encode_wav(np.full(n, amp, dtype=np.int16), 8000))
+            yield pd.DataFrame({id_col: b[id_col], "content": blobs})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(gen, schema)

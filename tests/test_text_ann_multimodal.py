@@ -9,8 +9,12 @@ from etl_rs_spark.operators.ann import IvfIndex, cosine_topk
 from etl_rs_spark.operators.multimodal import (
     extract_image_features,
     gen_fake_assets,
+    image_assets_from_ids,
+    image_stats,
     resize_images,
     sample_audio_frames,
+    wav_assets_from_ids,
+    wav_frames,
 )
 from etl_rs_spark.streaming.windows import (
     session_window_agg,
@@ -116,38 +120,103 @@ def test_image_feature_plumbing(spark):
     assert rows[0]["features"] == again.collect()[0]["features"]
 
 
-def test_image_decode_gated_without_pil(spark):
-    assets = gen_fake_assets(spark, n=2)
-    try:
-        import PIL  # noqa: F401
+def test_real_image_stats_exact(spark):
+    """REAL decode kernels (no PIL): solid-color ppm/bmp/pgm assets have
+    closed-form channel means, and image_stats must hit them exactly."""
+    ids = spark.range(30).withColumnRenamed("id", "asset_id")
+    assets = image_assets_from_ids(ids)
+    got = {r["asset_id"]: r for r in image_stats(assets).collect()}
+    assert len(got) == 30
+    for i in range(30):
+        r = got[i]
+        assert r["fmt"] == ["ppm", "bmp", "pgm"][i % 3]
+        assert (r["width"], r["height"]) == (8 + i % 9, 8 + i % 7)
+        if i % 3 == 2:  # grayscale: all channels = the gray value
+            assert r["mean_r"] == r["mean_g"] == r["mean_b"] == float(i % 256)
+        else:
+            assert r["mean_r"] == float(i % 256)
+            assert r["mean_g"] == float(7 * i % 256)
+            assert r["mean_b"] == float(13 * i % 256)
 
-        pytest.skip("PIL present; gate not applicable")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        extract_image_features(assets, fake=False)
-    with pytest.raises(NotImplementedError):
-        resize_images(assets, 64, 64, fake=False)
+
+def test_real_feature_vector(spark):
+    ids = spark.range(9).withColumnRenamed("id", "asset_id")
+    feats = extract_image_features(image_assets_from_ids(ids)).collect()
+    assert len(feats) == 9
+    for r in feats:
+        v = r["features"]
+        i = r["asset_id"]
+        assert len(v) == 16
+        assert v[0] == float(8 + i % 9) and v[1] == float(8 + i % 7)  # w, h
+        assert v[5] == v[6] == v[7] == 0.0  # solid color: zero std
+        assert abs(sum(v[8:16]) - 1.0) < 1e-12  # normalized histogram
 
 
-def test_image_decode_raises_even_with_pil(spark, monkeypatch):
-    """With an importable PIL but no real kernel, fake=False must raise
-    in the executor rather than silently emit NULL features / claim a
-    resize it never did."""
-    import etl_rs_spark.operators.multimodal as mm
+def test_real_resize_roundtrip_preserves_color_and_format(spark):
+    from etl_rs_spark.functions import codecs
 
-    monkeypatch.setattr(mm, "_have_pil", lambda: True)
-    assets = gen_fake_assets(spark, n=2)
+    ids = spark.range(12).withColumnRenamed("id", "asset_id")
+    assets = image_assets_from_ids(ids).withColumn("width", F.lit(0)).withColumn(
+        "height", F.lit(0)
+    )
+    resized = resize_images(assets, 6, 5, fake=False)
+    rows = {r["asset_id"]: r for r in resized.collect()}
+    assert all((r["width"], r["height"]) == (6, 5) for r in rows.values())
+    stats = {r["asset_id"]: r for r in image_stats(resized).collect()}
+    for i in range(12):
+        assert codecs.sniff(rows[i]["content"]) == ["ppm", "bmp", "pgm"][i % 3]
+        s = stats[i]
+        assert (s["width"], s["height"]) == (6, 5)
+        # bilinear resize of a constant image is exactly constant
+        assert s["mean_r"] == float(i % 256 if i % 3 == 2 else i % 256)
+        assert s["mean_g"] == float(i % 256 if i % 3 == 2 else 7 * i % 256)
+
+
+def test_unknown_format_raises_in_kernel(spark):
+    """Undecodable bytes must fail loudly at execution, naming the
+    sniffed format — never silently emit NULL features."""
     from py4j.protocol import Py4JJavaError
 
-    feats = mm.extract_image_features(assets, fake=False)
-    with pytest.raises((Py4JJavaError, Exception), match="NotImplementedError"):
+    assets = gen_fake_assets(spark, n=2)  # sha2 bytes: not a real image
+    feats = extract_image_features(assets, fake=False)
+    with pytest.raises((Py4JJavaError, Exception), match="unknown"):
         feats.collect()
-    resized = mm.resize_images(assets, 64, 64, fake=False)
-    with pytest.raises((Py4JJavaError, Exception), match="NotImplementedError"):
+    resized = resize_images(assets, 64, 64, fake=False)
+    with pytest.raises((Py4JJavaError, Exception), match="unknown"):
         resized.collect()
-    # the fake path is unaffected
-    assert mm.extract_image_features(assets, fake=True).count() == 2
+    # the fake plumbing path is unaffected
+    assert extract_image_features(assets, fake=True).count() == 2
+
+
+def test_real_wav_frames_exact(spark):
+    """REAL WAV decode: constant-amplitude PCM gives closed-form RMS."""
+    ids = spark.range(20).withColumnRenamed("id", "asset_id")
+    audio = wav_assets_from_ids(ids)
+    rows = wav_frames(audio, every_ms=25).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["asset_id"], []).append(r)
+    for i in range(20):
+        frames = sorted(by_id[i], key=lambda r: r["frame_idx"])
+        assert len(frames) == 2 + i % 3
+        for fr in frames:
+            assert fr["n_samples"] == 200
+            assert fr["rms"] == abs(i % 2000 - 1000) / 32768.0
+
+
+def test_real_audio_frame_sampling(spark):
+    """sample_audio_frames real path frames the DECODED sample stream
+    (not metadata): 8kHz * 50..100ms at every_ms=25 -> 2..4 frames."""
+    ids = spark.range(6).withColumnRenamed("id", "asset_id")
+    audio = wav_assets_from_ids(ids)
+    per = {
+        r["asset_id"]: r["count"]
+        for r in sample_audio_frames(audio, every_ms=25, fake=False)
+        .groupBy("asset_id")
+        .count()
+        .collect()
+    }
+    assert per == {i: 2 + i % 3 for i in range(6)}
 
 
 def test_resize_and_frame_sampling_fake(spark):
