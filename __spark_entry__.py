@@ -844,6 +844,55 @@ def q_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_apply_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read CDC apply under the oracle: the event changelog is
+    replayed as THREE interleaved-LSN batches (cross-batch out-of-order
+    by construction) into a LakeTable with write.merge.mode=
+    merge-on-read and write.delta.max-files=1 — so the run exercises
+    delta-file appends, an inline per-bucket fold when the chain hits
+    the cap, AND read-side LWW resolution over mixed base+delta buckets
+    (sinks/lake.py: merge delta leg + _lww_resolve). Final state must
+    equal the plain LWW-winner oracle, byte-for-byte."""
+    import tempfile
+
+    from etl_rs_spark.cdc.apply import apply_batch
+    from etl_rs_spark.config import CdcConfig
+    from etl_rs_spark.sinks.lake import LakeTable
+
+    e = _t(spark, sf_dir, "events")
+    env = e.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.to_json(F.struct(F.round("value", 2).alias("value"))).alias("payload"),
+    )
+    work = tempfile.mkdtemp(prefix="mor-entry-")
+    cfg = CdcConfig(num_buckets=8, merge_mode="merge-on-read")
+    t = LakeTable.create(
+        spark,
+        f"{work}/t",
+        "conv_id string, turn_idx int, value string, ts timestamp",
+        num_buckets=8,
+        props={"write.delta.max-files": 1},
+    )
+    for b in range(3):
+        apply_batch(
+            t, env.where(F.col("lsn") % 3 == b), batch_id=b, run_id="mor", cfg=cfg
+        )
+    assert any(
+        f.get("kind") == "delta" for f in t.current().files
+    ), "merge-on-read run produced no delta files"
+    return t.read().select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.col("value").cast("double").alias("value"),
+        "ts",
+    )
+
+
 def q_cdc_schema_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-place type promotion under the oracle (Iceberg schema
     evolution: int -> long). Batch 1 merges a `score` column as INT;
@@ -952,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "change_data_feed": q_change_data_feed,
         "cdc_schema_promotion": q_cdc_schema_promotion,
+        "cdc_apply_mor": q_cdc_apply_mor,
     }
 
 
@@ -1534,6 +1584,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT user_id, score, ts
+            FROM w
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_apply_mor": """
+            WITH w AS (
+                SELECT user_id, ts, event_type,
+                       round(value, 2) AS value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events
+            )
+            SELECT user_id, value, ts
             FROM w
             WHERE rn = 1 AND event_type <> 'error'
         """,

@@ -192,7 +192,7 @@ def run_cdc_bench(
                 apply_batch(table, chunk, batch_id=i, run_id=f"bench{rep}", cfg=cfg)
             wall = time.monotonic() - t0
             best = wall if best is None else min(best, wall)
-        return {
+        out = {
             "events": n_events,
             "wall_sec": round(best, 3),
             "events_per_sec": round(n_events / best, 1),
@@ -201,6 +201,44 @@ def run_cdc_bench(
             "reps": max(reps, 1),
             "final_rows": table.read().count(),
         }
+
+        # merge-on-read leg (SPARK_GRAFT_CDC_MOR=0 to skip): identical
+        # batch plan with write.merge.mode=merge-on-read — the apply
+        # phase appends per-bucket delta files instead of rewriting
+        # bucket state, then ONE compaction folds the chains (the cost
+        # copy-on-write pays on every batch, paid once). Reported
+        # separately so the write-amplification trade is a measurement:
+        # apply-only rate (the streaming steady state) and the rate
+        # with compaction amortized in.
+        if os.environ.get("SPARK_GRAFT_CDC_MOR", "1") != "0":
+            mcfg = CdcConfig(merge_mode="merge-on-read")
+            mtab = LakeTable.create(
+                spark, os.path.join(work, "mor-table"), ddl, num_buckets=32
+            )
+            t0 = time.monotonic()
+            for i in range(batches):
+                chunk = envelope.where(
+                    (F.col("lsn") >= i * per) & (F.col("lsn") < (i + 1) * per)
+                )
+                apply_batch(mtab, chunk, batch_id=i, run_id="benchmor", cfg=mcfg)
+            apply_wall = time.monotonic() - t0
+            t1 = time.monotonic()
+            mtab.compact()
+            compact_wall = time.monotonic() - t1
+            mor_rows = mtab.read().count()
+            assert mor_rows == out["final_rows"], (
+                f"merge-on-read state diverged: {mor_rows} vs "
+                f"{out['final_rows']} rows"
+            )
+            out["mor"] = {
+                "apply_wall_sec": round(apply_wall, 3),
+                "events_per_sec_apply": round(n_events / apply_wall, 1),
+                "compact_wall_sec": round(compact_wall, 3),
+                "events_per_sec_with_compaction": round(
+                    n_events / (apply_wall + compact_wall), 1
+                ),
+            }
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -262,6 +262,7 @@ def apply_batch(
                 "bucket_counts": {b: s["n"] for b, s in per_bucket.items()},
                 "hi_lsn": hi_lsn,
             },
+            mode=cfg.merge_mode,
         )
     finally:
         raw_winners.unpersist()

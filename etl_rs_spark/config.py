@@ -88,8 +88,14 @@ class CdcConfig:
     #: where shuffling the payload dominates
     dedup_strategy: str = "wide"
     #: compact the table every N applied microbatches (None = never);
-    #: consumed by StreamDriver when built from an EngineConfig
+    #: consumed by StreamDriver when built from an EngineConfig. On a
+    #: merge-on-read table this also folds outstanding delta files.
     compact_every: int | None = None
+    #: merge write mode: None defers to the table property
+    #: ``write.merge.mode`` (default copy-on-write); "merge-on-read"
+    #: appends per-bucket delta files (write cost O(batch)) with LWW
+    #: resolution at read/compaction — see sinks/lake.LakeTable.merge
+    merge_mode: str | None = None
     #: when set, envelope rows that cannot be merged (null key/order
     #: fields, unparseable payload JSON) are quarantined to this
     #: directory instead of poisoning the LWW dedup; None = legacy
@@ -120,6 +126,11 @@ class EngineConfig:
             raise ConfigError("memory_limit_mb must be > 0")
         if self.cdc.num_buckets <= 0:
             raise ConfigError("num_buckets must be > 0")
+        if self.cdc.merge_mode not in (None, "copy-on-write", "merge-on-read"):
+            raise ConfigError(
+                "merge_mode must be copy-on-write|merge-on-read, "
+                f"got {self.cdc.merge_mode!r}"
+            )
         if self.observability.log_format not in ("json", "pretty", "compact"):
             raise ConfigError(
                 f"log_format must be json|pretty|compact, "

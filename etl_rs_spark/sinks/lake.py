@@ -1,4 +1,5 @@
-"""LakeTable — a minimal Iceberg-style merge-on-write table format.
+"""LakeTable — a minimal Iceberg-style table format with copy-on-write
+and merge-on-read merge modes.
 
 The north rule targets Iceberg ``MERGE INTO``; this sandbox has no
 network and no iceberg-spark-runtime jar, so the engine ships its own
@@ -10,6 +11,14 @@ interface an Iceberg-backed implementation can replace verbatim
   immutable ``meta/version-N.json`` manifest (schema + data-file list)
   and atomically swings ``meta/HEAD`` via os.replace. A crash mid-commit
   leaves HEAD on the old snapshot; orphaned data files are inert.
+- **two merge modes** (table property ``write.merge.mode``):
+  ``copy-on-write`` (default) rewrites touched buckets' state each
+  merge; ``merge-on-read`` appends batch winners as per-bucket delta
+  files (write cost O(batch)) with per-key LWW resolution at
+  read/compaction time and an inline per-bucket fold once a delta
+  chain reaches ``write.delta.max-files`` — Iceberg v2's
+  copy-on-write vs merge-on-read write modes, with RewriteDataFiles
+  played by ``compact()``.
 - **hidden-partition bucketing**: data files are owned by
   ``bucket(num_buckets, conv_id)`` (xxhash64-based, deterministic), so a
   MERGE rewrites only the buckets its source touches — copy-on-write
@@ -151,6 +160,45 @@ def bucket_expr(col: str, num_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col(col)), F.lit(num_buckets)).cast("int")
 
 
+def _lww_resolve(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    types: dict[str, T.DataType],
+) -> DataFrame:
+    """One row per key: the LWW winner over rows carrying the hidden
+    (_lsn, _deleted) columns — shared by the copy-on-write merge fold
+    and by read-side resolution of merge-on-read delta files.
+
+    ``max(struct((ts, _lsn) first, payload after))`` is a single
+    ASSOCIATIVE aggregation, so Spark runs a partial map-side combine
+    before the shuffle — a hot key's duplicates collapse to at most one
+    row per upstream partition before any data moves. Winning
+    tombstones keep their (ts, _lsn) — a late, older event for a
+    deleted key must still lose — but their user payload is nulled,
+    the same representation the copy-on-write path persists."""
+    payload = [c for c in df.columns if c not in key_cols]
+    ordered = [ts_col, LSN_COL] + [
+        c for c in payload if c not in (ts_col, LSN_COL)
+    ]
+    merged = df.groupBy(*key_cols).agg(
+        F.max(F.struct(*[F.col(c) for c in ordered])).alias("__w")
+    )
+    final = merged.select(
+        *key_cols, *[F.col(f"__w.{c}").alias(c) for c in payload]
+    )
+    for c in payload:
+        if c in (ts_col, LSN_COL, DELETED_COL):
+            continue
+        final = final.withColumn(
+            c,
+            F.when(F.col(DELETED_COL), F.lit(None).cast(types[c])).otherwise(
+                F.col(c)
+            ),
+        )
+    return final
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -159,8 +207,10 @@ class Snapshot:
     order_cols: list[str]
     bucket_col: str
     num_buckets: int
-    #: {path, bucket, rows, min_lsn, max_lsn} — the LSN range is the
-    #: per-file stat that lets changes() prune below-watermark files
+    #: {path, bucket, rows, min_lsn, max_lsn[, kind]} — the LSN range is
+    #: the per-file stat that lets changes() prune below-watermark
+    #: files; kind is "delta" for merge-on-read delta files (absent =
+    #: base file holding resolved one-row-per-key state)
     files: list[dict[str, Any]] = field(default_factory=list)
     applied: dict[str, int] = field(default_factory=dict)  # run_id -> max batch
     watermark_lsn: int = -1
@@ -192,7 +242,7 @@ class Snapshot:
 
 
 class LakeTable:
-    """Bucketed, snapshot-versioned, merge-on-write parquet table."""
+    """Bucketed, snapshot-versioned parquet table (CoW + MoR merges)."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -434,15 +484,34 @@ class LakeTable:
             wanted = set(buckets)
             files = [f for f in files if f["bucket"] in wanted]
         schema = _with_meta_cols(snap.schema())
-        if not files:
-            df = self.spark.createDataFrame([], schema)
-        else:
+
+        def _scan(fs: list[dict[str, Any]]) -> DataFrame:
+            if not fs:
+                return self.spark.createDataFrame([], schema)
             # explicit schema => missing (pre-evolution) columns in old
             # files are null-backfilled by the parquet reader, and no
             # footer-merge pass over every file is needed.
-            df = self.spark.read.schema(schema).parquet(
-                *[f["path"] for f in files]
+            return self.spark.read.schema(schema).parquet(
+                *[f["path"] for f in fs]
             )
+
+        # merge-on-read resolution: buckets carrying delta files need a
+        # per-key LWW pass over base+delta; every other bucket stays on
+        # the scan-only path (no shuffle). The dirty set is bounded by
+        # write.delta.max-files per bucket, so read amplification is
+        # O(max-files), not O(commits).
+        dirty = {f["bucket"] for f in files if f.get("kind") == "delta"}
+        clean_df = _scan([f for f in files if f["bucket"] not in dirty])
+        df = clean_df
+        if dirty:
+            types = {f.name: f.dataType for f in snap.schema().fields}
+            resolved = _lww_resolve(
+                _scan([f for f in files if f["bucket"] in dirty]),
+                snap.key_cols,
+                snap.order_cols[0],
+                types,
+            )
+            df = clean_df.unionByName(resolved.select(*clean_df.columns))
         if include_meta:
             return df
         # tombstones (soft deletes) are an implementation detail: a delete
@@ -501,17 +570,49 @@ class LakeTable:
                 (w for v, w in snap.wm_history if v <= from_version),
                 default=-1,
             )
+        schema = _with_meta_cols(snap.schema())
+
+        def _scan(fs: list[dict[str, Any]]) -> DataFrame:
+            if not fs:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(
+                *[f["path"] for f in fs]
+            )
+
+        # merge-on-read: a bucket carrying UNRESOLVED delta files that
+        # advanced past the watermark needs a full per-key LWW pass over
+        # ALL its files before the watermark filter — a newer delta row
+        # may LOSE to an older stored row (out-of-order replay), in
+        # which case the key has no net change in the window. Cost is
+        # O(dirty buckets); compaction restores the pruned O(changed
+        # data) path. Clean buckets (base files hold resolved winners)
+        # keep the metadata-pruned scan.
+        delta_b = {f["bucket"] for f in snap.files if f.get("kind") == "delta"}
+        dirty = {
+            f["bucket"]
+            for f in snap.files
+            if f["bucket"] in delta_b
+            and (f.get("max_lsn") is None or f["max_lsn"] > wm)
+        }
         files = [
             f
             for f in snap.files
-            if f.get("max_lsn") is None or f["max_lsn"] > wm
+            if f["bucket"] not in dirty
+            and (f.get("max_lsn") is None or f["max_lsn"] > wm)
         ]
-        schema = _with_meta_cols(snap.schema())
-        if files:
-            df = self.spark.read.schema(schema).parquet(*[f["path"] for f in files])
-        else:
-            df = self.spark.createDataFrame([], schema)
+        df = _scan(files)
         changed = df.where(F.col(LSN_COL) > wm)
+        if dirty:
+            types = {f.name: f.dataType for f in snap.schema().fields}
+            resolved = _lww_resolve(
+                _scan([f for f in snap.files if f["bucket"] in dirty]),
+                snap.key_cols,
+                snap.order_cols[0],
+                types,
+            )
+            changed = changed.unionByName(
+                resolved.where(F.col(LSN_COL) > wm).select(*df.columns)
+            )
         cols = [
             *[c for c in df.columns if c not in (LSN_COL, DELETED_COL)],
             F.when(
@@ -796,16 +897,28 @@ class LakeTable:
     def compact(
         self,
         tombstone_lsn_horizon: int | None = None,
+        buckets: Sequence[int] | None = None,
     ) -> dict[str, Any]:
-        """Rewrite every bucket into one file (small-file compaction) and
-        optionally drop tombstones whose lsn <= horizon — safe once no
-        replay can deliver events at or below that LSN (e.g. the stream's
-        committed watermark). A new snapshot is committed atomically;
-        concurrent readers keep their snapshot."""
+        """Rewrite buckets into fresh base files (small-file
+        compaction), folding away any merge-on-read delta files —
+        ``read(include_meta=True)`` already returns the resolved one-row
+        -per-key state, so compaction of a delta-carrying bucket is
+        exactly Iceberg's RewriteDataFiles over a v2 MOR table.
+        Optionally drops tombstones whose lsn <= horizon — safe once no
+        replay can deliver events at or below that LSN (e.g. the
+        stream's committed watermark). ``buckets`` restricts the rewrite
+        to those buckets (targeted maintenance: fold only the dirty
+        ones); the rest keep their files. A new snapshot is committed
+        atomically; concurrent readers keep their snapshot."""
         snap = self.current()
-        if not snap.files:
+        sel = None if buckets is None else set(buckets)
+        target = [
+            f for f in snap.files if sel is None or f["bucket"] in sel
+        ]
+        if not target:
             return {"version": snap.version, "skipped": True}
-        df = self.read(include_meta=True)
+        touched = sorted({f["bucket"] for f in target})
+        df = self.read(include_meta=True, buckets=touched)
         if tombstone_lsn_horizon is not None:
             df = df.where(
                 ~F.coalesce(F.col(DELETED_COL), F.lit(False))
@@ -813,17 +926,18 @@ class LakeTable:
             )
         out = self._with_bucket(df, snap)
         # default: one file per bucket. With write.target-file-rows set,
-        # manifest row counts give exact per-bucket volume so the
-        # compacted output honors the file-size cap instead.
+        # manifest row counts give per-bucket volume so the compacted
+        # output honors the file-size cap instead (delta rows overcount
+        # resolved state — an overestimate only splits a file early).
         vol: dict[int, int] | None = None
         if snap.props.get("write.target-file-rows"):
             vol = {}
-            for f in snap.files:
+            for f in target:
                 vol[f["bucket"]] = vol.get(f["bucket"], 0) + f.get("rows", 0)
         new_files = self._write_files(
             out,
             snap.version + 1,
-            snap.num_buckets,
+            len(touched),
             bucket_volume=vol,
             props=snap.props,
         )
@@ -834,7 +948,8 @@ class LakeTable:
             order_cols=snap.order_cols,
             bucket_col=snap.bucket_col,
             num_buckets=snap.num_buckets,
-            files=new_files,
+            files=[f for f in snap.files if sel is not None and f["bucket"] not in sel]
+            + new_files,
             applied=dict(snap.applied),
             watermark_lsn=snap.watermark_lsn,
             props=dict(snap.props),
@@ -843,7 +958,8 @@ class LakeTable:
         self._commit(new_snap)
         return {
             "version": new_snap.version,
-            "files_before": len(snap.files),
+            "buckets": touched,
+            "files_before": len(target),
             "files_after": len(new_files),
         }
 
@@ -857,6 +973,7 @@ class LakeTable:
         lsn_col: str = "lsn",
         write_partitions: int | None = None,
         batch_stats: dict[str, Any] | None = None,
+        mode: str | None = None,
     ) -> dict[str, Any]:
         """Key-partitioned LWW MERGE (the real version of the reference's
         stubbed write_merge, /root/reference/src/load/delta.rs:255-267).
@@ -872,6 +989,21 @@ class LakeTable:
         decimal precision growth) promotes the table column in place
         (see _promote_type); deletes resurrect if a later-LSN insert
         follows.
+
+        ``mode`` (or the table property ``write.merge.mode``):
+        ``copy-on-write`` (default) folds incoming winners with every
+        affected bucket's current state and rewrites those buckets —
+        write amplification O(state of touched buckets) per batch, zero
+        read amplification. ``merge-on-read`` appends the batch winners
+        as per-bucket DELTA files instead — write cost O(batch), with
+        per-key LWW resolution deferred to ``read()``/``changes()``/
+        compaction (the Iceberg v2 merge-on-read pattern). Read
+        amplification stays bounded: a bucket whose delta-file count
+        would exceed ``write.delta.max-files`` (default 8) is folded
+        inline in the same commit (per-bucket copy-on-write fallback),
+        so no scheduler is needed and steady state rewrites each
+        bucket's base at most every max-files batches instead of every
+        batch.
 
         ``batch_stats`` (optional): precomputed per-bucket source stats,
         ``{"bucket_counts": {bucket: n_rows}, "hi_lsn": int}`` — e.g.
@@ -967,8 +1099,31 @@ class LakeTable:
         if not affected:
             return {"version": snap.version, "skipped": True, "reason": "empty batch"}
 
-        # -- current rows of affected buckets only (partition pruning)
-        cur_files = [f for f in snap.files if f["bucket"] in set(affected)]
+        # -- merge-mode routing: which affected buckets FOLD (read
+        # current state, resolve, rewrite base) vs take a DELTA append.
+        # Copy-on-write folds everything; merge-on-read folds only the
+        # buckets whose delta chain would outgrow write.delta.max-files.
+        mode = mode or snap.props.get("write.merge.mode", "copy-on-write")
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise LoadError(
+                f"unknown merge mode {mode!r} "
+                "(copy-on-write | merge-on-read)"
+            )
+        if mode == "merge-on-read":
+            max_delta = int(snap.props.get("write.delta.max-files", 8))
+            n_delta: dict[int, int] = {}
+            for f in snap.files:
+                if f.get("kind") == "delta":
+                    n_delta[f["bucket"]] = n_delta.get(f["bucket"], 0) + 1
+            fold = [b for b in affected if n_delta.get(b, 0) + 1 > max_delta]
+        else:
+            fold = list(affected)
+        fold_set = set(fold)
+        cold = [b for b in affected if b not in fold_set]
+
+        # -- current rows of FOLD buckets only (partition pruning);
+        # delta-append buckets are never read — that is the point
+        cur_files = [f for f in snap.files if f["bucket"] in fold_set]
         read_schema = _with_meta_cols(schema)
         if cur_files:
             cur = self.spark.read.schema(read_schema).parquet(
@@ -991,54 +1146,83 @@ class LakeTable:
 
         existing = norm(cur, F.col(LSN_COL), F.coalesce(F.col(DELETED_COL), F.lit(False)))
         incoming = norm(src, F.col(lsn_col), F.col(op_col) == "D")
+        _bexpr = bucket_expr(snap.bucket_col, snap.num_buckets)
 
-        # -- LWW across {stored row/tombstone, incoming winner} per key:
-        # one associative max_by aggregation (partial map-side combine
-        # before the shuffle). Deletes become tombstones — the (ts, lsn)
-        # of a delete must survive so a late older event can't win later.
-        # AQE handles residual skew.
-        combined = existing.unionByName(incoming)
-        payload = [c for c in combined.columns if c not in snap.key_cols]
-        # max(struct((ts, _lsn) first, payload after)) == LWW winner; see
-        # operators/dedup._pick_winner for why max over max_by.
-        ordered = [ts_col, LSN_COL] + [
-            c for c in payload if c not in (ts_col, LSN_COL)
-        ]
-        merged = combined.groupBy(*snap.key_cols).agg(
-            F.max(F.struct(*[F.col(c) for c in ordered])).alias("__w")
-        )
-        final = merged.select(
-            *snap.key_cols, *[F.col(f"__w.{c}").alias(c) for c in payload]
-        )
-        # null out tombstone payload (deletes carry no payload on disk)
-        non_key_user = [
-            c for c in table_cols if c not in snap.key_cols and c != ts_col
-        ]
-        for c in non_key_user:
-            final = final.withColumn(
-                c, F.when(F.col(DELETED_COL), F.lit(None).cast(types[c])).otherwise(F.col(c))
-            )
-
-        # -- rewrite affected buckets, keep the rest. Expected write
-        # volume per bucket = existing rows (manifest footer counts) +
-        # incoming winners — drives the skew-aware salt plan.
         t_write = time.monotonic()
-        volume: dict[int, int] = dict(incoming_counts)
-        for f in cur_files:
-            volume[f["bucket"]] = volume.get(f["bucket"], 0) + f.get("rows", 0)
-        out = self._with_bucket(final, snap)
-        new_files = self._write_files(
-            out,
-            snap.version + 1,
-            len(affected),
-            write_partitions,
-            bucket_volume=volume,
-            props=snap.props,
-        )
+        new_files: list[dict[str, Any]] = []
+        if fold:
+            # -- FOLD leg: LWW across {stored row/tombstone, incoming
+            # winner} per key — one associative max aggregation (partial
+            # map-side combine before the shuffle); AQE handles residual
+            # skew. Rewrites the fold buckets' base files; any delta
+            # files those buckets carried are resolved away here.
+            inc_fold = (
+                incoming if not cold else incoming.where(_bexpr.isin(fold))
+            )
+            final = _lww_resolve(
+                existing.unionByName(inc_fold), snap.key_cols, ts_col, types
+            )
+            # expected write volume per bucket = existing rows (manifest
+            # footer counts) + incoming winners — drives the skew-aware
+            # salt plan
+            volume: dict[int, int] = {
+                b: n for b, n in incoming_counts.items() if b in fold_set
+            }
+            for f in cur_files:
+                volume[f["bucket"]] = volume.get(f["bucket"], 0) + f.get("rows", 0)
+            new_files += self._write_files(
+                self._with_bucket(final, snap),
+                snap.version + 1,
+                len(fold),
+                write_partitions,
+                bucket_volume=volume,
+                props=snap.props,
+            )
+        if cold:
+            # -- DELTA leg: append the batch winners as delta files for
+            # the cold buckets without reading their current state.
+            # Tombstone payload is nulled on disk (parity with the fold
+            # representation); resolution happens at read/compaction.
+            delta_rows = (
+                incoming if not fold else incoming.where(_bexpr.isin(cold))
+            )
+            for c in table_cols:
+                if c in snap.key_cols or c == ts_col:
+                    continue
+                delta_rows = delta_rows.withColumn(
+                    c,
+                    F.when(
+                        F.col(DELETED_COL), F.lit(None).cast(types[c])
+                    ).otherwise(F.col(c)),
+                )
+            # one delta file per touched bucket per batch (the chain the
+            # max-files cap counts); volume-driven splitting only when
+            # the table caps file sizes explicitly
+            dvol = (
+                {b: n for b, n in incoming_counts.items() if b in set(cold)}
+                if snap.props.get("write.target-file-rows")
+                else None
+            )
+            dfiles = self._write_files(
+                self._with_bucket(delta_rows, snap),
+                snap.version + 1,
+                len(cold),
+                None,
+                bucket_volume=dvol,
+                props=snap.props,
+            )
+            for f in dfiles:
+                f["kind"] = "delta"
+            new_files += dfiles
         stage_ms["write"] = int((time.monotonic() - t_write) * 1000)
         if debug:
-            print(f"[merge] union+write: {time.monotonic()-t_write:.1f}s")
-        kept = [f for f in snap.files if f["bucket"] not in set(affected)]
+            print(
+                f"[merge] write ({mode}, fold={len(fold)} "
+                f"delta={len(cold)}): {time.monotonic()-t_write:.1f}s"
+            )
+        # fold buckets are fully replaced; cold buckets KEEP their
+        # existing base+delta files (the new deltas stack on top)
+        kept = [f for f in snap.files if f["bucket"] not in fold_set]
 
         applied = dict(snap.applied)
         if run_id is not None and batch_id is not None:
@@ -1070,9 +1254,14 @@ class LakeTable:
         out_stats = {
             "version": new_snap.version,
             "skipped": False,
+            "mode": mode,
             "buckets_touched": affected,
+            "folded_buckets": fold,
+            "delta_buckets": cold,
             "files_written": len(new_files),
-            "rows_per_bucket": rows_per_bucket,  # post-merge state rows (footers)
+            # footer rows of this commit's files: post-merge state rows
+            # for folded buckets, appended winners for delta buckets
+            "rows_per_bucket": rows_per_bucket,
             "schema_widened": [f.name for f in new_fields],
             "schema_promoted": {
                 k: v.simpleString() for k, v in promotions.items()

@@ -39,6 +39,12 @@ def parse_args(argv):
     p.add_argument("--dead-letter", default=None,
                    help="quarantine dir for unmergeable envelope rows; "
                         "pass '' to disable a config file's DLQ")
+    p.add_argument("--merge-mode", default=None,
+                   choices=["copy-on-write", "merge-on-read"],
+                   help="override [cdc].merge_mode / the table's "
+                        "write.merge.mode property: merge-on-read "
+                        "appends per-bucket delta files (write cost "
+                        "O(batch)) with LWW resolution at read/compaction")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--trigger", default=None, help="processingTime, e.g. '10 seconds'; omit for availableNow replay")
     p.add_argument("--config", default=None,
@@ -81,6 +87,8 @@ def main(argv=None) -> int:
                       else base_cdc.salt_buckets),
         dead_letter_dir=(args.dead_letter if args.dead_letter is not None
                          else base_cdc.dead_letter_dir),
+        merge_mode=(args.merge_mode if args.merge_mode is not None
+                    else base_cdc.merge_mode),
     )
     driver = StreamDriver(
         spark,
