@@ -844,6 +844,51 @@ def q_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive point lookup on the CDC-materialized table: the event
+    changelog is merged into a fresh LakeTable (user_id key), then ten
+    conversations are fetched via ``LakeTable.lookup`` — the keys are
+    hashed with the write path's own bucket function and the scan is
+    restricted to those buckets' files via the manifest, so a k-key
+    lookup reads O(k/N) of the table at any table size (pruning is
+    plan-asserted in tests/test_lake_table.py::
+    test_lookup_prunes_to_key_buckets). Oracle: the LWW winner per key
+    over the full changelog, filtered to the same keys, deletes
+    excluded. The reference's DeltaExtractor can only full-scan +
+    filter (/root/reference/src/extract/delta.rs:117-140)."""
+    import tempfile
+
+    from etl_rs_spark.cdc.apply import apply_batch
+    from etl_rs_spark.config import CdcConfig
+    from etl_rs_spark.sinks.lake import LakeTable
+
+    e = _t(spark, sf_dir, "events")
+    env = e.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.to_json(F.struct(F.round("value", 2).alias("value"))).alias("payload"),
+    )
+    work = tempfile.mkdtemp(prefix="lookup-entry-")
+    t = LakeTable.create(
+        spark,
+        f"{work}/t",
+        "conv_id string, turn_idx int, value string, ts timestamp",
+        num_buckets=8,
+    )
+    apply_batch(t, env, batch_id=0, run_id="pl", cfg=CdcConfig(num_buckets=8))
+    ids = [str(i) for i in range(1, 11)]
+    return t.lookup(ids).select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.col("value").cast("double").alias("value"),
+        "ts",
+    )
+
+
 def q_cdc_apply_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read CDC apply under the oracle: the event changelog is
     replayed as THREE interleaved-LSN batches (cross-batch out-of-order
@@ -951,6 +996,75 @@ def q_cdc_schema_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-id schema evolution under the oracle (Iceberg spec:
+    renames preserve the field id; a dropped-then-readded name gets a
+    FRESH id so retired data never resurrects). Batch 1 merges `value`
+    + `flag`; then the table renames value->amount (metadata-only) and
+    drops + re-adds `flag`; batch 2 merges under the new names. Final
+    state: amount carries every LWW winner's value — including batch-1
+    winners, whose files still physically store the column as `value`
+    and are translated by id at read time (sinks/lake._scan_files) —
+    while flag is non-null ONLY for keys whose winner arrived after
+    the re-add (batch-1 flag data is retired with its field id). The
+    oracle recomputes both rules in DuckDB from batch membership of
+    each key's LWW winner. The reference stores schema-evolution knobs
+    and never applies them (/root/reference/src/load/delta.rs:62-69)."""
+    import tempfile
+
+    from etl_rs_spark.sinks.lake import LakeTable
+
+    e = _t(spark, sf_dir, "events")
+    split = int(e.agg(F.max("event_id")).first()[0]) // 2
+
+    def _batch(pred, value_name):
+        return e.where(pred).select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.round("value", 2).alias(value_name),
+            F.col("event_type").alias("flag"),
+        )
+
+    work = tempfile.mkdtemp(prefix="renamedrop-entry-")
+    t = LakeTable.create(
+        spark,
+        f"{work}/t",
+        "conv_id string, turn_idx int, value double, flag string, ts timestamp",
+        num_buckets=8,
+    )
+    t.merge(
+        lww_dedup(
+            _batch(F.col("event_id") <= split, "value"),
+            keys=["conv_id", "turn_idx"],
+            order_cols=["ts", "lsn"],
+        ),
+        run_id="evo",
+        batch_id=0,
+    )
+    t.rename_column("value", "amount")
+    t.drop_column("flag")
+    t.add_column("flag", "string")
+    t.merge(
+        lww_dedup(
+            _batch(F.col("event_id") > split, "amount"),
+            keys=["conv_id", "turn_idx"],
+            order_cols=["ts", "lsn"],
+        ),
+        run_id="evo",
+        batch_id=1,
+    )
+    cols = [f.name for f in t.current().schema().fields]
+    assert "amount" in cols and "value" not in cols, cols
+    return t.read().select(
+        F.col("conv_id").cast("long").alias("user_id"), "amount", "flag", "ts"
+    )
+
+
 # -------------------------------------------------------------- contract --
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -1002,6 +1116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_data_feed": q_change_data_feed,
         "cdc_schema_promotion": q_cdc_schema_promotion,
         "cdc_apply_mor": q_cdc_apply_mor,
+        "point_lookup": q_point_lookup,
+        "cdc_rename_drop": q_cdc_rename_drop,
     }
 
 
@@ -1569,6 +1685,38 @@ def oracle_sql() -> dict[str, str]:
                    lsn AS _lsn
             FROM w, split
             WHERE rn = 1 AND lsn > wm
+        """,
+        "point_lookup": """
+            WITH ops AS (
+                SELECT user_id,
+                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                       value, ts, event_id AS lsn
+                FROM events
+            ), winners AS (
+                SELECT * FROM ops
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, lsn DESC) = 1
+            )
+            SELECT user_id, round(value, 2) AS value, ts
+            FROM winners
+            WHERE op <> 'D' AND user_id IN (1,2,3,4,5,6,7,8,9,10)
+        """,
+        "cdc_rename_drop": """
+            WITH split AS (SELECT max(event_id) // 2 AS wm FROM events),
+            w AS (
+                SELECT user_id, ts, event_id AS lsn, event_type,
+                       round(value, 2) AS amount,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events
+            )
+            SELECT user_id, amount,
+                   CASE WHEN lsn > (SELECT wm FROM split)
+                        THEN event_type END AS flag,
+                   ts
+            FROM w
+            WHERE rn = 1 AND event_type <> 'error'
         """,
         "cdc_schema_promotion": """
             WITH split AS (SELECT max(event_id) // 2 AS wm FROM events),

@@ -103,6 +103,12 @@ class CdcConfig:
     #: the happy path stays one pass (the quarantine write job only
     #: runs when bad rows actually exist).
     dead_letter_dir: str | None = None
+    #: observe each batch's raw LSN span (count/min/max ride the dedup
+    #: scan via df.observe — no extra job) and report per-batch
+    #: intra-range holes; StreamDriver folds the spans into run-level
+    #: coverage (StreamDriver.lsn_coverage) so a lost binlog segment
+    #: surfaces as a hole instead of silent data loss.
+    track_lsn_gaps: bool = True
 
 
 @dataclass(frozen=True)

@@ -229,6 +229,33 @@ class Snapshot:
     #: meta dir itself. Empty = legacy manifest (fall back to walking
     #: surviving version files).
     wm_history: list = field(default_factory=list)
+    #: Iceberg-style stable column identity (spec: Schema Evolution):
+    #: current column name -> field id. A column's id never changes
+    #: across renames; a dropped-then-readded name gets a FRESH id, so
+    #: old files' data for the retired id can never resurrect.
+    field_ids: dict = field(default_factory=dict)
+    next_field_id: int = 0
+    #: write epoch: bumped by every rename/drop. Data files record the
+    #: epoch they were written under; ``epoch_names`` maps, per epoch,
+    #: field id -> the PHYSICAL parquet column name files of that epoch
+    #: carry (keys are strings — JSON round-trip). Reads translate
+    #: per-epoch physical names to current logical names by id.
+    epoch: int = 0
+    epoch_names: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        # legacy manifests (pre field-id) synthesize stable ids from
+        # schema order — deterministic, so every reader agrees
+        if not self.field_ids:
+            names = [f.name for f in self.schema().fields]
+            self.field_ids = {n: i + 1 for i, n in enumerate(names)}
+            self.next_field_id = len(names) + 1
+        if not self.epoch_names:
+            self.epoch_names = {
+                str(self.epoch): {
+                    str(i): n for n, i in self.field_ids.items()
+                }
+            }
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
@@ -239,6 +266,32 @@ class Snapshot:
     @classmethod
     def from_json(cls, s: str) -> "Snapshot":
         return cls(**json.loads(s))
+
+    def child(self, **overrides: Any) -> "Snapshot":
+        """Successor snapshot: version+1 with deep-copied mutable
+        metadata, every field carried forward unless overridden — the
+        single place child commits are built, so new snapshot fields
+        can never be silently dropped by a write path."""
+        base: dict[str, Any] = dict(
+            version=self.version + 1,
+            schema_json=self.schema_json,
+            key_cols=list(self.key_cols),
+            order_cols=list(self.order_cols),
+            bucket_col=self.bucket_col,
+            num_buckets=self.num_buckets,
+            files=list(self.files),
+            applied=dict(self.applied),
+            watermark_lsn=self.watermark_lsn,
+            props=dict(self.props),
+            committed_at_ms=-1,
+            wm_history=[list(x) for x in self.wm_history],
+            field_ids=dict(self.field_ids),
+            next_field_id=self.next_field_id,
+            epoch=self.epoch,
+            epoch_names={e: dict(m) for e, m in self.epoch_names.items()},
+        )
+        base.update(overrides)
+        return Snapshot(**base)
 
 
 class LakeTable:
@@ -467,6 +520,75 @@ class LakeTable:
         return time.time() - claimed_ms / 1000.0
 
     # ------------------------------------------------------------ reads --
+    def _scan_files(
+        self,
+        snap: Snapshot,
+        fs: list[dict[str, Any]],
+        schema: T.StructType | None = None,
+    ) -> DataFrame:
+        """Scan data files under the logical ``schema`` (default: the
+        snapshot's), translating each file's PHYSICAL parquet column
+        names to current logical names by stable field id (Iceberg
+        schema-evolution semantics: renames relabel, drops retire the
+        id, a re-added name gets a fresh id so retired data never
+        resurrects).
+
+        Fast path — every file written under the snapshot's current
+        epoch: physical names equal logical names (renames/drops bump
+        the epoch, so within one epoch names are fixed and a name can
+        enter the epoch only once), one name-based scan with explicit
+        schema exactly as before; columns added after a file was
+        written null-backfill in the parquet reader. Files from older
+        epochs are scanned per epoch with that epoch's physical names
+        and re-aliased — one extra scan per SURVIVING old epoch, which
+        compaction retires."""
+        logical = (schema if schema is not None else snap.schema()).fields
+        out_schema = _with_meta_cols(
+            T.StructType([T.StructField(f.name, f.dataType, True) for f in logical])
+        )
+        if not fs:
+            return self.spark.createDataFrame([], out_schema)
+        by_epoch: dict[int, list[dict[str, Any]]] = {}
+        for f in fs:
+            by_epoch.setdefault(int(f.get("epoch", 0)), []).append(f)
+        if set(by_epoch) == {snap.epoch}:
+            return self.spark.read.schema(out_schema).parquet(
+                *[f["path"] for f in fs]
+            )
+        meta_fields = [
+            T.StructField(LSN_COL, T.LongType(), True),
+            T.StructField(DELETED_COL, T.BooleanType(), True),
+        ]
+        parts: list[DataFrame] = []
+        for e in sorted(by_epoch):
+            phys_by_id = {
+                int(i): n
+                for i, n in snap.epoch_names.get(str(e), {}).items()
+            }
+            read_fields: list[T.StructField] = []
+            sel: list[F.Column] = []
+            for lf in logical:
+                fid = snap.field_ids.get(lf.name)
+                pn = phys_by_id.get(fid) if fid is not None else None
+                if pn is not None:
+                    # current type (covers in-place promotions), the
+                    # epoch's physical name
+                    read_fields.append(T.StructField(pn, lf.dataType, True))
+                    sel.append(F.col(pn).alias(lf.name))
+                else:
+                    # field didn't exist at this epoch (added later, or
+                    # a re-add of a retired name): NULL — never read a
+                    # stale physical column that happens to share the name
+                    sel.append(F.lit(None).cast(lf.dataType).alias(lf.name))
+            df = self.spark.read.schema(
+                T.StructType(read_fields + meta_fields)
+            ).parquet(*[f["path"] for f in by_epoch[e]])
+            parts.append(df.select(*sel, F.col(LSN_COL), F.col(DELETED_COL)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(
         self,
         version: int | None = None,
@@ -483,17 +605,8 @@ class LakeTable:
         if buckets is not None:
             wanted = set(buckets)
             files = [f for f in files if f["bucket"] in wanted]
-        schema = _with_meta_cols(snap.schema())
-
         def _scan(fs: list[dict[str, Any]]) -> DataFrame:
-            if not fs:
-                return self.spark.createDataFrame([], schema)
-            # explicit schema => missing (pre-evolution) columns in old
-            # files are null-backfilled by the parquet reader, and no
-            # footer-merge pass over every file is needed.
-            return self.spark.read.schema(schema).parquet(
-                *[f["path"] for f in fs]
-            )
+            return self._scan_files(snap, fs)
 
         # merge-on-read resolution: buckets carrying delta files need a
         # per-key LWW pass over base+delta; every other bucket stays on
@@ -520,6 +633,167 @@ class LakeTable:
         return df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(
             LSN_COL, DELETED_COL
         )
+
+    # --------------------------------------------------- point lookup --
+    def _buckets_for(self, values: Sequence[Any], snap: Snapshot) -> list[int]:
+        """Bucket ids the given bucket-column values hash into — computed
+        with the SAME expression the write path partitions by
+        (``bucket_expr``'s xxhash64), over a literal len(values)-row
+        frame. A driver-local micro-job; never touches table data."""
+        btype = next(
+            f.dataType
+            for f in snap.schema().fields
+            if f.name == snap.bucket_col
+        )
+        vdf = self.spark.createDataFrame(
+            [(v,) for v in values],
+            T.StructType([T.StructField("v", btype)]),
+        )
+        rows = (
+            vdf.select(bucket_expr("v", snap.num_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+        return sorted(r["b"] for r in rows)
+
+    def lookup(
+        self,
+        values: Any,
+        version: int | None = None,
+        include_meta: bool = False,
+    ) -> DataFrame:
+        """Point lookup by bucket-column value(s) with hash-partition
+        pruning: the keys are hashed with the write path's own bucket
+        function, the scan is restricted to those buckets' files via the
+        manifest (``read(buckets=...)``), and the residual equality
+        filter lands on the parquet scan as a pushed predicate. Looking
+        up k conversations on an N-bucket table reads at most k buckets'
+        files — O(k/N) of the table, regardless of table size — which is
+        what makes single-conversation retrieval from a 10^10-row
+        transcript store an interactive query instead of a table scan.
+        Iceberg gets the identical prune from
+        ``PARTITIONED BY (bucket(N, conv_id))`` + a conv_id equality
+        predicate. Merge-on-read buckets resolve per-key LWW exactly as
+        in ``read()`` (shared scan path)."""
+        if isinstance(values, (list, tuple, set, frozenset)):
+            vals = list(values)
+        else:
+            vals = [values]
+        snap = self.current() if version is None else self.snapshot(version)
+        wanted = self._buckets_for(vals, snap) if vals else []
+        df = self.read(
+            version=snap.version, include_meta=include_meta, buckets=wanted
+        )
+        return df.where(F.col(snap.bucket_col).isin(vals))
+
+    # ------------------------------------------------- schema evolution --
+    def rename_column(self, old: str, new: str) -> dict[str, Any]:
+        """Metadata-only column rename (Iceberg spec: renames preserve
+        the field id; no data files are touched or rewritten). Bumps
+        the write epoch — files written before the rename keep their
+        old physical column name and are translated by id at read time
+        (_scan_files); files written after carry the new name.
+        Key/order/bucket column references follow the rename.
+
+        The reference's DeltaLoader stores schema-evolution knobs and
+        never applies them (/root/reference/src/load/delta.rs:62-69);
+        RenameColumnsTransform (operators/transforms.py) renames rows
+        in flight — this renames the TABLE."""
+        snap = self.current()
+        names = [f.name for f in snap.schema().fields]
+        if old not in names:
+            raise LoadError(f"no such column {old!r}")
+        if new in names:
+            raise LoadError(f"column {new!r} already exists")
+        if new in (LSN_COL, DELETED_COL, _BUCKET):
+            raise LoadError(f"{new!r} is a reserved name")
+        fields = [
+            T.StructField(new if f.name == old else f.name, f.dataType,
+                          f.nullable, f.metadata)
+            for f in snap.schema().fields
+        ]
+        field_ids = dict(snap.field_ids)
+        field_ids[new] = field_ids.pop(old)
+        new_epoch = snap.epoch + 1
+        epoch_names = {e: dict(m) for e, m in snap.epoch_names.items()}
+        epoch_names[str(new_epoch)] = {
+            str(i): n for n, i in field_ids.items()
+        }
+        ren = lambda c: new if c == old else c  # noqa: E731
+        new_snap = snap.child(
+            schema_json=json.dumps(T.StructType(fields).jsonValue()),
+            key_cols=[ren(c) for c in snap.key_cols],
+            order_cols=[ren(c) for c in snap.order_cols],
+            bucket_col=ren(snap.bucket_col),
+            field_ids=field_ids,
+            epoch=new_epoch,
+            epoch_names=epoch_names,
+        )
+        self._commit(new_snap)
+        return {"version": new_snap.version, "renamed": {old: new}}
+
+    def drop_column(self, name: str) -> dict[str, Any]:
+        """Metadata-only column drop: the field id is retired and the
+        column vanishes from every read — including reads of old files,
+        whose bytes stay on disk untouched (Iceberg's lazy drop; the
+        next compaction of a bucket physically rewrites it without the
+        column). Re-adding the same NAME later allocates a fresh id, so
+        the retired column's data never resurrects. Key/order/bucket
+        columns cannot be dropped."""
+        snap = self.current()
+        if name in snap.key_cols or name in snap.order_cols or name == snap.bucket_col:
+            raise LoadError(f"cannot drop key/order/bucket column {name!r}")
+        fields = [f for f in snap.schema().fields if f.name != name]
+        if len(fields) == len(snap.schema().fields):
+            raise LoadError(f"no such column {name!r}")
+        field_ids = dict(snap.field_ids)
+        field_ids.pop(name, None)
+        new_epoch = snap.epoch + 1
+        epoch_names = {e: dict(m) for e, m in snap.epoch_names.items()}
+        epoch_names[str(new_epoch)] = {
+            str(i): n for n, i in field_ids.items()
+        }
+        new_snap = snap.child(
+            schema_json=json.dumps(T.StructType(fields).jsonValue()),
+            field_ids=field_ids,
+            epoch=new_epoch,
+            epoch_names=epoch_names,
+        )
+        self._commit(new_snap)
+        return {"version": new_snap.version, "dropped": name}
+
+    def add_column(
+        self, name: str, dtype: T.DataType | str
+    ) -> dict[str, Any]:
+        """Explicit additive evolution (the merge path also widens
+        implicitly): allocates a fresh field id under the CURRENT epoch
+        — existing files simply lack the column and null-backfill, and
+        if the name once belonged to a dropped column, old epochs'
+        physical data is invisible to the new id (non-resurrection)."""
+        snap = self.current()
+        if isinstance(dtype, str):
+            dtype = T.StructType.fromDDL(f"`{name}` {dtype}")[0].dataType
+        names = [f.name for f in snap.schema().fields]
+        if name in names:
+            raise LoadError(f"column {name!r} already exists")
+        if name in (LSN_COL, DELETED_COL, _BUCKET):
+            raise LoadError(f"{name!r} is a reserved name")
+        field_ids = dict(snap.field_ids)
+        field_ids[name] = snap.next_field_id
+        epoch_names = {e: dict(m) for e, m in snap.epoch_names.items()}
+        epoch_names.setdefault(str(snap.epoch), {})[
+            str(snap.next_field_id)
+        ] = name
+        new_snap = snap.child(
+            schema_json=json.dumps(
+                snap.schema().add(name, dtype).jsonValue()
+            ),
+            field_ids=field_ids,
+            next_field_id=snap.next_field_id + 1,
+            epoch_names=epoch_names,
+        )
+        self._commit(new_snap)
+        return {"version": new_snap.version, "added": name}
 
     def changes(
         self,
@@ -570,14 +844,8 @@ class LakeTable:
                 (w for v, w in snap.wm_history if v <= from_version),
                 default=-1,
             )
-        schema = _with_meta_cols(snap.schema())
-
         def _scan(fs: list[dict[str, Any]]) -> DataFrame:
-            if not fs:
-                return self.spark.createDataFrame([], schema)
-            return self.spark.read.schema(schema).parquet(
-                *[f["path"] for f in fs]
-            )
+            return self._scan_files(snap, fs)
 
         # merge-on-read: a bucket carrying UNRESOLVED delta files that
         # advanced past the watermark needs a full per-key LWW pass over
@@ -677,10 +945,12 @@ class LakeTable:
         write_partitions: int | None = None,
         bucket_volume: dict[int, int] | None = None,
         props: dict[str, Any] | None = None,
+        epoch: int = 0,
     ) -> list[dict[str, Any]]:
         """Write df (which must carry _BUCKET) under a fresh commit dir
-        and return [{path, bucket, rows, min_lsn, max_lsn}] for the
-        manifest.
+        and return [{path, bucket, rows, min_lsn, max_lsn, epoch}] for
+        the manifest (``epoch`` records which rename/drop epoch's
+        physical column names the files carry — see Snapshot.epoch).
 
         Skew-aware write planning: when ``bucket_volume`` (expected rows
         per bucket — existing + incoming, known exactly from manifest
@@ -762,7 +1032,7 @@ class LakeTable:
         out = []
         for p in paths:
             b = int(p.split(f"{_BUCKET}=")[1].split(os.sep)[0])
-            out.append({"path": p, "bucket": b, **stats[p]})
+            out.append({"path": p, "bucket": b, "epoch": epoch, **stats[p]})
         return out
 
     def _with_bucket(self, df: DataFrame, snap: Snapshot) -> DataFrame:
@@ -772,24 +1042,15 @@ class LakeTable:
         """Blind append (reference DeltaLoader Append mode)."""
         snap = self.current()
         out = self._prepare_rows(df, snap, lsn_col)
-        new = Snapshot(
-            version=snap.version + 1,
-            schema_json=snap.schema_json,
-            key_cols=snap.key_cols,
-            order_cols=snap.order_cols,
-            bucket_col=snap.bucket_col,
-            num_buckets=snap.num_buckets,
+        new = snap.child(
             files=snap.files
             + self._write_files(
                 self._with_bucket(out, snap),
                 snap.version + 1,
                 snap.num_buckets,
                 props=snap.props,
+                epoch=snap.epoch,
             ),
-            applied=dict(snap.applied),
-            watermark_lsn=snap.watermark_lsn,
-            props=dict(snap.props),
-            wm_history=list(snap.wm_history),
         )
         self._commit(new)
         return {"version": new.version, "mode": "append"}
@@ -798,23 +1059,14 @@ class LakeTable:
         """Full replace (reference DeltaLoader Overwrite mode)."""
         snap = self.current()
         out = self._prepare_rows(df, snap, lsn_col)
-        new = Snapshot(
-            version=snap.version + 1,
-            schema_json=snap.schema_json,
-            key_cols=snap.key_cols,
-            order_cols=snap.order_cols,
-            bucket_col=snap.bucket_col,
-            num_buckets=snap.num_buckets,
+        new = snap.child(
             files=self._write_files(
                 self._with_bucket(out, snap),
                 snap.version + 1,
                 snap.num_buckets,
                 props=snap.props,
+                epoch=snap.epoch,
             ),
-            applied=dict(snap.applied),
-            watermark_lsn=snap.watermark_lsn,
-            props=dict(snap.props),
-            wm_history=list(snap.wm_history),
         )
         self._commit(new)
         return {"version": new.version, "mode": "overwrite"}
@@ -940,20 +1192,11 @@ class LakeTable:
             len(touched),
             bucket_volume=vol,
             props=snap.props,
+            epoch=snap.epoch,
         )
-        new_snap = Snapshot(
-            version=snap.version + 1,
-            schema_json=snap.schema_json,
-            key_cols=snap.key_cols,
-            order_cols=snap.order_cols,
-            bucket_col=snap.bucket_col,
-            num_buckets=snap.num_buckets,
+        new_snap = snap.child(
             files=[f for f in snap.files if sel is not None and f["bucket"] not in sel]
             + new_files,
-            applied=dict(snap.applied),
-            watermark_lsn=snap.watermark_lsn,
-            props=dict(snap.props),
-            wm_history=list(snap.wm_history),
         )
         self._commit(new_snap)
         return {
@@ -1124,13 +1367,9 @@ class LakeTable:
         # -- current rows of FOLD buckets only (partition pruning);
         # delta-append buckets are never read — that is the point
         cur_files = [f for f in snap.files if f["bucket"] in fold_set]
-        read_schema = _with_meta_cols(schema)
-        if cur_files:
-            cur = self.spark.read.schema(read_schema).parquet(
-                *[f["path"] for f in cur_files]
-            )
-        else:
-            cur = self.spark.createDataFrame([], read_schema)
+        # scanned under the WIDENED/PROMOTED logical schema, with
+        # per-epoch physical-name translation for pre-rename files
+        cur = self._scan_files(snap, cur_files, schema=schema)
 
         def norm(df: DataFrame, lsn: F.Column, deleted: F.Column) -> DataFrame:
             sel = []
@@ -1177,6 +1416,7 @@ class LakeTable:
                 write_partitions,
                 bucket_volume=volume,
                 props=snap.props,
+                epoch=snap.epoch,
             )
         if cold:
             # -- DELTA leg: append the batch winners as delta files for
@@ -1210,6 +1450,7 @@ class LakeTable:
                 None,
                 bucket_volume=dvol,
                 props=snap.props,
+                epoch=snap.epoch,
             )
             for f in dfiles:
                 f["kind"] = "delta"
@@ -1228,18 +1469,24 @@ class LakeTable:
         if run_id is not None and batch_id is not None:
             applied[run_id] = max(applied.get(run_id, -1), batch_id)
 
-        new_snap = Snapshot(
-            version=snap.version + 1,
+        # widened columns get fresh field ids, registered under the
+        # CURRENT epoch (their physical name == logical name; older
+        # files of this epoch simply lack the column -> null backfill)
+        field_ids = dict(snap.field_ids)
+        nfi = snap.next_field_id
+        epoch_names = {e: dict(m) for e, m in snap.epoch_names.items()}
+        for f in new_fields:
+            field_ids[f.name] = nfi
+            epoch_names.setdefault(str(snap.epoch), {})[str(nfi)] = f.name
+            nfi += 1
+        new_snap = snap.child(
             schema_json=schema_json,
-            key_cols=snap.key_cols,
-            order_cols=snap.order_cols,
-            bucket_col=snap.bucket_col,
-            num_buckets=snap.num_buckets,
             files=kept + new_files,
             applied=applied,
             watermark_lsn=max(snap.watermark_lsn, int(hi_lsn if hi_lsn is not None else -1)),
-            props=dict(snap.props),
-            wm_history=list(snap.wm_history),
+            field_ids=field_ids,
+            next_field_id=nfi,
+            epoch_names=epoch_names,
         )
         if new_snap.watermark_lsn > snap.watermark_lsn:
             new_snap.wm_history.append(

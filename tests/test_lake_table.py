@@ -740,3 +740,229 @@ def test_changes_across_promotion_window(spark, tmp_path):
     assert [(r["k"], r["score"], r["_change_type"]) for r in rows] == [
         ("k1", 2**40, "upsert")
     ]
+
+
+def test_lookup_prunes_to_key_buckets(spark, tmp_path):
+    """lookup(values) returns exactly the matching rows while scanning
+    ONLY the files of the buckets those values hash into — O(k/N) of
+    the table for a k-key lookup, the Iceberg bucket-partition prune."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=8)
+    t.append(_df(spark, 400, convs=40))
+    keys = ["c3", "c17"]
+    got = t.lookup(keys).orderBy("conv_id", "turn_idx").collect()
+    want = (
+        t.read()
+        .where(F.col("conv_id").isin(keys))
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    assert got == want and len(got) == 20
+
+    snap = t.current()
+    wanted = set(t._buckets_for(keys, snap))
+    assert len(wanted) <= 2
+    allowed = {
+        os.path.basename(f["path"])
+        for f in snap.files
+        if f["bucket"] in wanted
+    }
+    touched = {os.path.basename(p) for p in t.lookup(keys).inputFiles()}
+    assert touched and touched <= allowed
+    # the prune is real: untouched buckets exist and were not scanned
+    assert len(allowed) < len(snap.files)
+
+
+def test_lookup_scalar_missing_and_time_travel(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=4)
+    t.append(_df(spark, 20, convs=4))  # version 1
+    t.overwrite(_df(spark, 8, convs=2))  # version 2
+    assert t.lookup("c3").count() == 0  # overwritten away
+    assert t.lookup("c1").count() == 4
+    assert t.lookup("c3", version=1).count() == 5  # time travel
+    assert t.lookup("nope").count() == 0
+    assert t.lookup([]).count() == 0
+
+
+def test_lookup_resolves_mor_delta_buckets(spark, tmp_path):
+    """A lookup landing on a bucket with unresolved delta files gets the
+    per-key LWW winner (and honors tombstones), same as read()."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        "conv_id string, turn_idx int, text string, ts timestamp",
+        num_buckets=4,
+        props={"write.merge.mode": "merge-on-read", "write.delta.max-files": 8},
+    )
+
+    def w(rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, lsn long, op string, text string"
+        ).select(
+            "conv_id",
+            "turn_idx",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("lsn")).alias("ts"),
+            "lsn",
+            "op",
+            "text",
+        )
+
+    t.merge(w([("a", 0, 1, "I", "v1"), ("b", 0, 2, "I", "bee")]), run_id="r", batch_id=0)
+    t.merge(w([("a", 0, 3, "U", "v2"), ("b", 0, 4, "D", None)]), run_id="r", batch_id=1)
+    assert any(f.get("kind") == "delta" for f in t.current().files)
+    rows = {r["conv_id"]: r["text"] for r in t.lookup(["a", "b"]).collect()}
+    assert rows == {"a": "v2"}
+
+
+# --------------------------------------------------- schema evolution --
+EVO_DDL = "conv_id string, turn_idx int, text string, score int, ts timestamp"
+
+
+def _evo_rows(spark, n, text="t", score=1, text_col="text"):
+    return spark.range(n).select(
+        F.format_string("c%d", F.col("id") % 10).alias("conv_id"),
+        (F.col("id") / 10).cast("int").alias("turn_idx"),
+        F.lit(text).alias(text_col),
+        F.lit(score).cast("int").alias("score"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+    )
+
+
+def test_rename_column_is_metadata_only(spark, tmp_path):
+    """Rename relabels by field id: no files rewritten, old files read
+    under the new name, time travel shows the old name."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), EVO_DDL, num_buckets=4)
+    t.append(_evo_rows(spark, 40))
+    files_before = [f["path"] for f in t.current().files]
+    r = t.rename_column("text", "body")
+    assert r["renamed"] == {"text": "body"}
+    assert [f["path"] for f in t.current().files] == files_before
+    df = t.read()
+    assert "body" in df.columns and "text" not in df.columns
+    assert df.where(F.col("body") == "t").count() == 40
+    assert "text" in t.read(version=1).columns  # time travel pre-rename
+    # mixed-epoch read: files written after the rename carry new name
+    t.append(_evo_rows(spark, 10, text="new", text_col="body"))
+    assert t.read().where(F.col("body") == "new").count() == 10
+    assert t.read().count() == 50
+    with pytest.raises(LoadError):
+        t.rename_column("nope", "x")
+    with pytest.raises(LoadError):
+        t.rename_column("body", "score")
+
+
+def test_drop_then_readd_does_not_resurrect(spark, tmp_path):
+    """Iceberg non-resurrection: a re-added name gets a fresh field id,
+    so data written under the retired id stays invisible."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), EVO_DDL, num_buckets=4)
+    t.append(_evo_rows(spark, 40, score=5))
+    t.drop_column("score")
+    assert "score" not in t.read().columns
+    t.add_column("score", "int")
+    assert t.read().where(F.col("score").isNull()).count() == 40
+    t.append(_evo_rows(spark, 5, score=99))
+    assert t.read().where(F.col("score") == 99).count() == 5
+    assert t.read().where(F.col("score").isNull()).count() == 40
+    with pytest.raises(LoadError):
+        t.drop_column("conv_id")  # key/bucket col
+    with pytest.raises(LoadError):
+        t.drop_column("ts")  # order col
+
+
+def test_merge_and_cdf_after_rename(spark, tmp_path):
+    """LWW merge and the change feed operate under the renamed schema;
+    pre-rename files' values fold correctly by field id."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), EVO_DDL, num_buckets=4)
+    t.append(_evo_rows(spark, 40))
+    t.rename_column("text", "body")
+    m = spark.createDataFrame(
+        [("c1", 0, 100, "U", "merged", 7)],
+        "conv_id string, turn_idx int, lsn long, op string, body string, score int",
+    ).select(
+        "conv_id", "turn_idx",
+        F.timestamp_seconds(F.lit(1800000000)).alias("ts"),
+        "lsn", "op", "body", "score",
+    )
+    t.merge(m, run_id="r", batch_id=0)
+    got = t.read().where(
+        (F.col("conv_id") == "c1") & (F.col("turn_idx") == 0)
+    ).collect()
+    assert len(got) == 1 and got[0]["body"] == "merged"
+    ch = t.changes(0)
+    assert "body" in ch.columns and "text" not in ch.columns
+    assert ch.where(F.col("body") == "merged").count() == 1
+
+
+def test_compaction_physically_drops_retired_columns(spark, tmp_path):
+    """Compaction rewrites buckets at the current epoch: retired
+    physical columns disappear from disk, state is unchanged."""
+    import pyarrow.parquet as pq
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), EVO_DDL, num_buckets=4)
+    t.append(_evo_rows(spark, 40))
+    t.rename_column("text", "body")
+    t.drop_column("score")
+
+    def state():
+        return sorted(
+            t.read().collect(),
+            key=lambda r: (r["conv_id"], r["turn_idx"], str(r["ts"])),
+        )
+
+    before = state()
+    t.compact()
+    snap = t.current()
+    assert all(int(f.get("epoch", 0)) == snap.epoch for f in snap.files)
+    phys = set(pq.read_schema(snap.files[0]["path"]).names)
+    assert "body" in phys and "text" not in phys and "score" not in phys
+    assert state() == before
+
+
+def test_rename_bucket_column_keeps_pruning(spark, tmp_path):
+    """Renaming the bucket column re-points key/bucket metadata; lookup
+    still prunes (hashing is on values, not names)."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), EVO_DDL, num_buckets=8)
+    t.append(_evo_rows(spark, 40))
+    t.rename_column("conv_id", "conversation")
+    snap = t.current()
+    assert snap.bucket_col == "conversation"
+    assert "conversation" in snap.key_cols
+    lk = t.lookup(["c1"])
+    assert lk.count() == t.read().where(F.col("conversation") == "c1").count() > 0
+    wanted = set(t._buckets_for(["c1"], snap))
+    allowed = {
+        os.path.basename(f["path"])
+        for f in snap.files
+        if f["bucket"] in wanted
+    }
+    touched = {os.path.basename(p) for p in lk.inputFiles()}
+    assert touched and touched <= allowed
+
+
+def test_legacy_manifest_synthesizes_field_ids(spark, tmp_path):
+    """A pre-field-id manifest loads with ids synthesized from schema
+    order, and evolution works on top of it."""
+    import json as _json
+
+    from etl_rs_spark.sinks.lake import Snapshot
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), EVO_DDL, num_buckets=4)
+    t.append(_evo_rows(spark, 20))
+    # strip the field-id metadata from the manifest on disk (legacy shape)
+    snap = t.current()
+    vpath = os.path.join(t.meta_dir, f"version-{snap.version:08d}.json")
+    d = _json.loads(open(vpath).read())
+    for k in ("field_ids", "next_field_id", "epoch", "epoch_names"):
+        d.pop(k, None)
+    for f in d["files"]:
+        f.pop("epoch", None)
+    os.remove(vpath)
+    with open(vpath, "w") as fh:
+        fh.write(_json.dumps(d))
+    t2 = LakeTable.load(spark, str(tmp_path / "t"))
+    s = t2.current()
+    assert s.field_ids == {
+        "conv_id": 1, "turn_idx": 2, "text": 3, "score": 4, "ts": 5
+    }
+    assert t2.read().count() == 20
+    t2.rename_column("text", "body")
+    assert t2.read().where(F.col("body").isNotNull()).count() == 20
