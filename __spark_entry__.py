@@ -1065,6 +1065,72 @@ def q_cdc_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_bucket_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-spec (partition spec) evolution mid-replay under the
+    oracle: batch 1 merges into an 8-bucket table, set_num_buckets(16)
+    evolves the spec METADATA-ONLY (no rewrite — the modulo nesting of
+    pmod(xxhash64, N) keeps pruning exact across the mix), batch 2
+    merges under the new spec (its folds migrate overlapped old-spec
+    files whole), and the final read must equal the plain LWW replay —
+    bucket layout is invisible to query results at every point. This
+    is the 100-TB resize story: a table that outgrew its bucket count
+    evolves without a big-bang rewrite window (Iceberg partition spec
+    evolution; the reference stores a partition-evolution knob and
+    never applies it, /root/reference/src/load/delta.rs:62-69)."""
+    import tempfile
+
+    from etl_rs_spark.sinks.lake import LakeTable, _file_spec
+
+    e = _t(spark, sf_dir, "events")
+    split = int(e.agg(F.max("event_id")).first()[0]) // 2
+
+    def _batch(pred):
+        return e.where(pred).select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.round("value", 2).alias("value"),
+        )
+
+    work = tempfile.mkdtemp(prefix="bucketevo-entry-")
+    t = LakeTable.create(
+        spark,
+        f"{work}/t",
+        "conv_id string, turn_idx int, value double, ts timestamp",
+        num_buckets=8,
+    )
+    t.merge(
+        lww_dedup(
+            _batch(F.col("event_id") <= split),
+            keys=["conv_id", "turn_idx"],
+            order_cols=["ts", "lsn"],
+        ),
+        run_id="bevo",
+        batch_id=0,
+    )
+    t.set_num_buckets(16)
+    t.merge(
+        lww_dedup(
+            _batch(F.col("event_id") > split),
+            keys=["conv_id", "turn_idx"],
+            order_cols=["ts", "lsn"],
+        ),
+        run_id="bevo",
+        batch_id=1,
+    )
+    snap = t.current()
+    assert snap.num_buckets == 16
+    # both specs coexist until compaction/merges finish the migration
+    assert {_file_spec(f, snap) for f in snap.files} <= {8, 16}
+    return t.read().select(
+        F.col("conv_id").cast("long").alias("user_id"), "value", "ts"
+    )
+
+
 # -------------------------------------------------------------- contract --
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -1118,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_mor": q_cdc_apply_mor,
         "point_lookup": q_point_lookup,
         "cdc_rename_drop": q_cdc_rename_drop,
+        "cdc_bucket_evolution": q_cdc_bucket_evolution,
     }
 
 
@@ -1700,6 +1767,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, round(value, 2) AS value, ts
             FROM winners
             WHERE op <> 'D' AND user_id IN (1,2,3,4,5,6,7,8,9,10)
+        """,
+        "cdc_bucket_evolution": """
+            WITH w AS (
+                SELECT user_id, ts, event_type,
+                       round(value, 2) AS value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events
+            )
+            SELECT user_id, value, ts
+            FROM w
+            WHERE rn = 1 AND event_type <> 'error'
         """,
         "cdc_rename_drop": """
             WITH split AS (SELECT max(event_id) // 2 AS wm FROM events),

@@ -36,6 +36,7 @@ remaining separate prescan pass into the dedup aggregation itself.
 from __future__ import annotations
 
 import time
+import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -169,6 +170,23 @@ def apply_batch(
         )
         clean = flagged.where(~F.col("__dlq_bad")).drop("__dlq_bad")
 
+    # raw LSN span of the batch, observed ON the dedup scan (no extra
+    # job): count + min/max over the pre-dedup envelope. Binlog LSNs
+    # are unique, so span - count > 0 means the batch's own range has
+    # holes — a lost/truncated binlog segment inside this batch.
+    # Cross-batch coverage is folded by StreamDriver.lsn_coverage().
+    lsn_obs = None
+    if cfg.track_lsn_gaps:
+        from pyspark.sql import Observation
+
+        lsn_obs = Observation(f"lsn-{batch_id}-{uuid.uuid4().hex[:6]}")
+        clean = clean.observe(
+            lsn_obs,
+            F.count(F.col("lsn")).alias("n_raw"),
+            F.min(F.col("lsn")).alias("raw_lo"),
+            F.max(F.col("lsn")).alias("raw_hi"),
+        )
+
     dedup = lww_dedup_narrow if cfg.dedup_strategy == "narrow" else lww_dedup
     raw_winners = dedup(
         clean,
@@ -270,6 +288,26 @@ def apply_batch(
     stats["run_id"] = run_id
     stats["n_events"] = n_events
     stats["dlq_rows"] = n_dlq
+    # advisory binlog-integrity metric (the prescan collect executed
+    # the observed scan, so this costs no job). missing_in_range > 0 =
+    # holes inside the batch's own LSN range; at-least-once redelivery
+    # can only UNDERstate it (duplicates shrink span - count), never
+    # fake a hole.
+    lsn_span = None
+    if lsn_obs is not None:
+        try:
+            m = lsn_obs.get
+            if m.get("raw_lo") is not None:
+                span = int(m["raw_hi"]) - int(m["raw_lo"]) + 1
+                lsn_span = {
+                    "lo": int(m["raw_lo"]),
+                    "hi": int(m["raw_hi"]),
+                    "n_raw": int(m["n_raw"]),
+                    "missing_in_range": max(span - int(m["n_raw"]), 0),
+                }
+        except Exception:
+            lsn_span = None  # observed scan optimized away; advisory
+    stats["lsn_span"] = lsn_span
     stats.setdefault("stage_ms", {})["dedup_keys"] = dedup_keys_ms
     wall_ms = int((time.monotonic() - t0) * 1000)
     stats["apply_wall_ms"] = wall_ms

@@ -95,6 +95,45 @@ class StreamDriver:
         self.run_id = os.path.abspath(checkpoint_dir)
         self.batch_stats: list[dict[str, Any]] = []
         self._applied_since_compact = 0
+        #: merged [lo, hi] LSN spans applied this run (cfg.
+        #: track_lsn_gaps); O(holes) entries, not O(batches)
+        self._lsn_ranges: list[list[int]] = []
+
+    def _fold_lsn_span(self, span: dict[str, Any] | None) -> None:
+        if not span:
+            return
+        lo, hi = int(span["lo"]), int(span["hi"])
+        merged: list[list[int]] = []
+        for a, b in sorted(self._lsn_ranges + [[lo, hi]]):
+            if merged and a <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], b)
+            else:
+                merged.append([a, b])
+        self._lsn_ranges = merged
+
+    def lsn_coverage(self) -> dict[str, Any]:
+        """Run-level binlog integrity: the merged LSN spans this run
+        applied, and the HOLES between them — ranges the stream never
+        delivered (a lost/skipped binlog segment). Batch-boundary
+        out-of-order delivery is fine (spans merge once the late file
+        arrives); a hole that persists at stream drain is data loss.
+        Per-batch intra-range holes ride each batch's ``lsn_span``
+        stat (cdc/apply.py, observed on the dedup scan — no extra
+        job)."""
+        holes = [
+            [a[1] + 1, b[0] - 1]
+            for a, b in zip(self._lsn_ranges, self._lsn_ranges[1:])
+        ]
+        missing_in_batches = sum(
+            s["lsn_span"]["missing_in_range"]
+            for s in self.batch_stats
+            if s.get("lsn_span")
+        )
+        return {
+            "covered": [list(r) for r in self._lsn_ranges],
+            "holes": holes,
+            "missing_in_batch_ranges": missing_in_batches,
+        }
 
     def _foreach_batch(self, batch_df, batch_id: int) -> None:
         # retry recoverable failures with backoff (reference RetryConfig,
@@ -114,6 +153,7 @@ class StreamDriver:
             self.retry,
         )
         self.batch_stats.append(stats)
+        self._fold_lsn_span(stats.get("lsn_span"))
         if self.compact_every and not stats.get("skipped"):
             self._applied_since_compact += 1
             if self._applied_since_compact >= self.compact_every:

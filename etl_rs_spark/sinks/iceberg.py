@@ -83,6 +83,41 @@ class IcebergTable:
                 f"ALTER TABLE {self.table} ADD COLUMN IF NOT EXISTS {name} {typ}"
             )
 
+    def rename_column(self, old: str, new: str) -> None:
+        """Metadata-only rename (field-id based in Iceberg, exactly the
+        LakeTable.rename_column semantics)."""
+        self.spark.sql(
+            f"ALTER TABLE {self.table} RENAME COLUMN {old} TO {new}"
+        )
+
+    def drop_column(self, name: str) -> None:
+        """Lazy drop; a later re-add gets a fresh field id in Iceberg,
+        so old data never resurrects (LakeTable.drop_column twin)."""
+        self.spark.sql(f"ALTER TABLE {self.table} DROP COLUMN {name}")
+
+    def add_column(self, name: str, typ: str) -> None:
+        self.spark.sql(
+            f"ALTER TABLE {self.table} ADD COLUMN {name} {typ}"
+        )
+
+    def set_num_buckets(
+        self, new_n: int, bucket_col: str = "conv_id", old_n: int | None = None
+    ) -> None:
+        """Partition spec evolution (LakeTable.set_num_buckets twin):
+        metadata-only; old files keep the old spec and migrate via
+        rewrite_data_files/compaction."""
+        if old_n is not None:
+            self.spark.sql(
+                f"ALTER TABLE {self.table} REPLACE PARTITION FIELD "
+                f"bucket({old_n}, {bucket_col}) "
+                f"WITH bucket({new_n}, {bucket_col})"
+            )
+        else:
+            self.spark.sql(
+                f"ALTER TABLE {self.table} ADD PARTITION FIELD "
+                f"bucket({new_n}, {bucket_col})"
+            )
+
     def promote(self, winners: DataFrame) -> dict[str, str]:
         """Iceberg-legal in-place type promotion before MERGE (same
         lattice as LakeTable: int->long, float->double, decimal

@@ -154,6 +154,44 @@ def _with_meta_cols(schema: T.StructType) -> T.StructType:
     )
 
 
+def _file_spec(f: dict[str, Any], snap: "Snapshot") -> int:
+    """Bucket-spec (num_buckets) a data file was written under. Files
+    predating spec evolution are stamped at evolution time
+    (set_num_buckets); unstamped files are by construction at the
+    snapshot's current spec."""
+    return int(f.get("spec_n", snap.num_buckets))
+
+
+def _expand_to_current(
+    f: dict[str, Any], snap: "Snapshot"
+) -> set[int]:
+    """CURRENT-spec bucket ids whose keys may live in file f. Exact
+    (not approximate) because pmod(xxhash64(k), N) nests under
+    divisibility: (h mod kN) mod N == h mod N — enforced by
+    set_num_buckets, which only allows specs that divide one another.
+    A file at the current spec maps to itself; a coarser file covers
+    every descendant id; a finer file collapses onto one ancestor."""
+    s, b, cur = _file_spec(f, snap), f["bucket"], snap.num_buckets
+    if s == cur:
+        return {b}
+    if cur % s == 0:  # file coarser than current spec: split
+        return {B for B in range(cur) if B % s == b}
+    return {b % cur}  # file finer than current spec: collapse
+
+
+def _file_overlaps(
+    f: dict[str, Any], wanted: set[int], snap: "Snapshot"
+) -> bool:
+    """Does file f hold any keys whose current-spec bucket is in
+    ``wanted``? O(|wanted|) worst case per file (no data reads)."""
+    s, b, cur = _file_spec(f, snap), f["bucket"], snap.num_buckets
+    if s == cur:
+        return b in wanted
+    if cur % s == 0:
+        return any(B % s == b for B in wanted)
+    return (b % cur) in wanted
+
+
 def bucket_expr(col: str, num_buckets: int) -> F.Column:
     """Deterministic bucket id — Spark's xxhash64 with its fixed seed, so
     the same key lands in the same bucket across sessions and runs."""
@@ -602,24 +640,53 @@ class LakeTable:
             version = self.version_as_of(as_of_ms)
         snap = self.current() if version is None else self.snapshot(version)
         files = snap.files
+        mixed = False
         if buckets is not None:
             wanted = set(buckets)
-            files = [f for f in files if f["bucket"] in wanted]
+            files = [f for f in files if _file_overlaps(f, wanted, snap)]
+            # a file written under a coarser (pre-evolution) spec also
+            # holds sibling buckets' keys; a residual hash filter keeps
+            # bucket-restricted reads row-exact across spec evolution
+            mixed = any(_file_spec(f, snap) != snap.num_buckets for f in files)
+        df = self._resolved_scan(snap, files, include_meta)
+        if mixed:
+            df = df.where(
+                bucket_expr(snap.bucket_col, snap.num_buckets).isin(
+                    list(wanted)
+                )
+            )
+        return df
+
+    def _resolved_scan(
+        self,
+        snap: Snapshot,
+        files: list[dict[str, Any]],
+        include_meta: bool,
+    ) -> DataFrame:
+        """Scan the given files with merge-on-read resolution: buckets
+        carrying delta files get a per-key LWW pass over base+delta;
+        every other bucket stays on the scan-only path (no shuffle).
+        The dirty set is bounded by write.delta.max-files per bucket,
+        so read amplification is O(max-files), not O(commits). Bucket
+        identity is compared under the CURRENT spec (_expand_to_current)
+        so a delta file always resolves against base files holding its
+        keys even across a bucket-spec evolution."""
+
         def _scan(fs: list[dict[str, Any]]) -> DataFrame:
             return self._scan_files(snap, fs)
 
-        # merge-on-read resolution: buckets carrying delta files need a
-        # per-key LWW pass over base+delta; every other bucket stays on
-        # the scan-only path (no shuffle). The dirty set is bounded by
-        # write.delta.max-files per bucket, so read amplification is
-        # O(max-files), not O(commits).
-        dirty = {f["bucket"] for f in files if f.get("kind") == "delta"}
-        clean_df = _scan([f for f in files if f["bucket"] not in dirty])
+        dirty: set[int] = set()
+        for f in files:
+            if f.get("kind") == "delta":
+                dirty |= _expand_to_current(f, snap)
+        clean_df = _scan(
+            [f for f in files if not _file_overlaps(f, dirty, snap)]
+        )
         df = clean_df
         if dirty:
             types = {f.name: f.dataType for f in snap.schema().fields}
             resolved = _lww_resolve(
-                _scan([f for f in files if f["bucket"] in dirty]),
+                _scan([f for f in files if _file_overlaps(f, dirty, snap)]),
                 snap.key_cols,
                 snap.order_cols[0],
                 types,
@@ -795,6 +862,52 @@ class LakeTable:
         self._commit(new_snap)
         return {"version": new_snap.version, "added": name}
 
+    def set_num_buckets(self, new_n: int) -> dict[str, Any]:
+        """Bucket-spec (partition spec) evolution, Iceberg-style: a
+        METADATA-ONLY commit — no data rewrite, no downtime. Existing
+        files keep their old spec (stamped ``spec_n`` here); new writes
+        use the new spec; reads/merges/lookup prune EXACTLY across the
+        mix because pmod(xxhash64(k), N) nests under divisibility
+        ((h mod kN) mod N == h mod N), which is why ``new_n`` must be a
+        multiple or divisor of the current spec (and of every spec
+        still present in the file set). Old-spec files migrate
+        incrementally: any merge that folds a bucket they overlap
+        rewrites them whole under the new spec, and ``compact()``
+        finishes the tail — the 100-TB resize story (a table that
+        outgrew its bucket count) without a big-bang rewrite window.
+
+        Iceberg parity: ALTER TABLE ... WRITE ORDERED/partition spec
+        evolution with bucket[N] transforms; the reference stores a
+        partition-evolution knob and never applies it
+        (/root/reference/src/load/delta.rs:62-69)."""
+        snap = self.current()
+        if new_n == snap.num_buckets:
+            return {"version": snap.version, "skipped": True}
+        if new_n < 1:
+            raise LoadError("num_buckets must be >= 1")
+        specs = {_file_spec(f, snap) for f in snap.files} | {
+            snap.num_buckets
+        }
+        for s in specs:
+            if not (new_n % s == 0 or s % new_n == 0):
+                raise LoadError(
+                    f"new spec {new_n} must divide or be a multiple of "
+                    f"every live spec (violates {s}); evolve through a "
+                    "compatible intermediate or compact() first"
+                )
+        files = []
+        for f in snap.files:
+            g = dict(f)
+            g.setdefault("spec_n", snap.num_buckets)
+            files.append(g)
+        new_snap = snap.child(num_buckets=new_n, files=files)
+        self._commit(new_snap)
+        return {
+            "version": new_snap.version,
+            "num_buckets": new_n,
+            "previous": snap.num_buckets,
+        }
+
     def changes(
         self,
         from_version: int,
@@ -855,17 +968,22 @@ class LakeTable:
         # O(dirty buckets); compaction restores the pruned O(changed
         # data) path. Clean buckets (base files hold resolved winners)
         # keep the metadata-pruned scan.
-        delta_b = {f["bucket"] for f in snap.files if f.get("kind") == "delta"}
-        dirty = {
-            f["bucket"]
-            for f in snap.files
-            if f["bucket"] in delta_b
-            and (f.get("max_lsn") is None or f["max_lsn"] > wm)
-        }
+        # bucket identity under the CURRENT spec (exact across bucket-
+        # spec evolution: _expand_to_current)
+        delta_cov: set[int] = set()
+        for f in snap.files:
+            if f.get("kind") == "delta":
+                delta_cov |= _expand_to_current(f, snap)
+        dirty: set[int] = set()
+        for f in snap.files:
+            if (
+                f.get("max_lsn") is None or f["max_lsn"] > wm
+            ) and _file_overlaps(f, delta_cov, snap):
+                dirty |= _expand_to_current(f, snap) & delta_cov
         files = [
             f
             for f in snap.files
-            if f["bucket"] not in dirty
+            if not _file_overlaps(f, dirty, snap)
             and (f.get("max_lsn") is None or f["max_lsn"] > wm)
         ]
         df = _scan(files)
@@ -873,7 +991,13 @@ class LakeTable:
         if dirty:
             types = {f.name: f.dataType for f in snap.schema().fields}
             resolved = _lww_resolve(
-                _scan([f for f in snap.files if f["bucket"] in dirty]),
+                _scan(
+                    [
+                        f
+                        for f in snap.files
+                        if _file_overlaps(f, dirty, snap)
+                    ]
+                ),
                 snap.key_cols,
                 snap.order_cols[0],
                 types,
@@ -1165,12 +1289,21 @@ class LakeTable:
         snap = self.current()
         sel = None if buckets is None else set(buckets)
         target = [
-            f for f in snap.files if sel is None or f["bucket"] in sel
+            f
+            for f in snap.files
+            if sel is None or _file_overlaps(f, sel, snap)
         ]
         if not target:
             return {"version": snap.version, "skipped": True}
-        touched = sorted({f["bucket"] for f in target})
-        df = self.read(include_meta=True, buckets=touched)
+        touched = sorted(
+            {b for f in target for b in _expand_to_current(f, snap)}
+        )
+        # scan the target FILES directly (not read(buckets=...)): a
+        # pre-evolution file overlapping the selection is rewritten
+        # WHOLE — its sibling buckets' rows migrate to current-spec
+        # files here, which is exactly how compaction finishes a
+        # bucket-spec evolution
+        df = self._resolved_scan(snap, target, include_meta=True)
         if tombstone_lsn_horizon is not None:
             df = df.where(
                 ~F.coalesce(F.col(DELETED_COL), F.lit(False))
@@ -1185,7 +1318,10 @@ class LakeTable:
         if snap.props.get("write.target-file-rows"):
             vol = {}
             for f in target:
-                vol[f["bucket"]] = vol.get(f["bucket"], 0) + f.get("rows", 0)
+                dests = _expand_to_current(f, snap)
+                share = max(f.get("rows", 0) // len(dests), 1)
+                for b in dests:
+                    vol[b] = vol.get(b, 0) + share
         new_files = self._write_files(
             out,
             snap.version + 1,
@@ -1194,8 +1330,9 @@ class LakeTable:
             props=snap.props,
             epoch=snap.epoch,
         )
+        target_paths = {f["path"] for f in target}
         new_snap = snap.child(
-            files=[f for f in snap.files if sel is not None and f["bucket"] not in sel]
+            files=[f for f in snap.files if f["path"] not in target_paths]
             + new_files,
         )
         self._commit(new_snap)
@@ -1357,7 +1494,8 @@ class LakeTable:
             n_delta: dict[int, int] = {}
             for f in snap.files:
                 if f.get("kind") == "delta":
-                    n_delta[f["bucket"]] = n_delta.get(f["bucket"], 0) + 1
+                    for b in _expand_to_current(f, snap):
+                        n_delta[b] = n_delta.get(b, 0) + 1
             fold = [b for b in affected if n_delta.get(b, 0) + 1 > max_delta]
         else:
             fold = list(affected)
@@ -1366,7 +1504,13 @@ class LakeTable:
 
         # -- current rows of FOLD buckets only (partition pruning);
         # delta-append buckets are never read — that is the point
-        cur_files = [f for f in snap.files if f["bucket"] in fold_set]
+        # a pre-evolution (coarser-spec) file overlapping the fold set
+        # is folded WHOLE: its sibling buckets' rows ride the LWW
+        # resolve unopposed and land in current-spec files — merges
+        # migrate the table toward the new spec as buckets get touched
+        cur_files = [
+            f for f in snap.files if _file_overlaps(f, fold_set, snap)
+        ]
         # scanned under the WIDENED/PROMOTED logical schema, with
         # per-epoch physical-name translation for pre-rename files
         cur = self._scan_files(snap, cur_files, schema=schema)
@@ -1408,7 +1552,10 @@ class LakeTable:
                 b: n for b, n in incoming_counts.items() if b in fold_set
             }
             for f in cur_files:
-                volume[f["bucket"]] = volume.get(f["bucket"], 0) + f.get("rows", 0)
+                dests = _expand_to_current(f, snap)
+                share = max(f.get("rows", 0) // len(dests), 1)
+                for b in dests:
+                    volume[b] = volume.get(b, 0) + share
             new_files += self._write_files(
                 self._with_bucket(final, snap),
                 snap.version + 1,
@@ -1463,7 +1610,8 @@ class LakeTable:
             )
         # fold buckets are fully replaced; cold buckets KEEP their
         # existing base+delta files (the new deltas stack on top)
-        kept = [f for f in snap.files if f["bucket"] not in fold_set]
+        fold_paths = {f["path"] for f in cur_files}
+        kept = [f for f in snap.files if f["path"] not in fold_paths]
 
         applied = dict(snap.applied)
         if run_id is not None and batch_id is not None:

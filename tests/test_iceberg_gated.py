@@ -134,3 +134,38 @@ def test_merge_promotes_types_in_place(ice_spark):
     assert dict(df.dtypes)["score"] == "bigint"
     got = {r.conv_id: r.score for r in df.collect()}
     assert got == {"a": 7, "b": 2**40}
+
+
+def test_rename_drop_readd_non_resurrection(ice_spark):
+    """LakeTable.rename/drop/add twin: rename preserves values by
+    field id; a dropped-then-readded column must not resurrect old
+    data (Iceberg fresh-field-id rule)."""
+    t = IcebergTable.create(ice_spark, "lake.db.evolve", DDL, num_buckets=4)
+    t.merge(_src(ice_spark, [("a", 0, "v1", TS, 1, "U")]))
+    t.rename_column("text", "body")
+    df = t.read()
+    assert "body" in df.columns and "text" not in df.columns
+    assert df.first().body == "v1"
+    t.drop_column("body")
+    t.add_column("body", "STRING")
+    assert t.read().first().body is None  # no resurrection
+    wide = ice_spark.createDataFrame(
+        [("a", 0, "v2", TS, 2, "U")],
+        "conv_id string, turn_idx int, body string, ts timestamp, "
+        "lsn long, op string",
+    )
+    t.merge(wide)
+    assert t.read().first().body == "v2"
+
+
+def test_partition_spec_evolution(ice_spark):
+    """set_num_buckets twin: REPLACE PARTITION FIELD is metadata-only;
+    existing rows remain readable and new merges land under the new
+    spec."""
+    t = IcebergTable.create(ice_spark, "lake.db.spec", DDL, num_buckets=4)
+    t.merge(_src(ice_spark, [("a", 0, "v1", TS, 1, "U")]))
+    t.set_num_buckets(8, old_n=4)
+    assert t.read().count() == 1
+    t.merge(_src(ice_spark, [("b", 0, "v2", TS, 2, "U")]))
+    got = {r.conv_id: r.text for r in t.read().collect()}
+    assert got == {"a": "v1", "b": "v2"}

@@ -966,3 +966,109 @@ def test_legacy_manifest_synthesizes_field_ids(spark, tmp_path):
     assert t2.read().count() == 20
     t2.rename_column("text", "body")
     assert t2.read().where(F.col("body").isNotNull()).count() == 20
+
+
+# ------------------------------------------------ bucket-spec evolution --
+SPEC_DDL = "conv_id string, turn_idx int, text string, ts timestamp"
+
+
+def _spec_batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, lsn long, op string, text string"
+    ).select(
+        "conv_id", "turn_idx",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("lsn")).alias("ts"),
+        "lsn", "op", "text",
+    )
+
+
+def test_bucket_spec_evolution_grow_metadata_only(spark, tmp_path):
+    """set_num_buckets is a metadata-only commit; mixed-spec reads,
+    bucket-restricted reads and lookups stay row-exact (modulo-nesting
+    of pmod(xxhash64, N) under divisibility)."""
+    from etl_rs_spark.sinks.lake import _file_spec
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SPEC_DDL, num_buckets=4)
+    b0 = [
+        (f"c{i}", j, i * 10 + j, "I", f"v0-{i}-{j}")
+        for i in range(12)
+        for j in range(3)
+    ]
+    t.merge(_spec_batch(spark, b0), run_id="r", batch_id=0)
+    paths_before = [f["path"] for f in t.current().files]
+    t.set_num_buckets(8)
+    snap = t.current()
+    assert snap.num_buckets == 8
+    assert [f["path"] for f in snap.files] == paths_before  # no rewrite
+    assert all(f["spec_n"] == 4 for f in snap.files)
+    assert t.read().count() == 36
+    for B in (0, 3, 7):
+        got = t.read(buckets=[B]).count()
+        want = t.read().where(bucket_expr("conv_id", 8) == B).count()
+        assert got == want, (B, got, want)
+    assert t.lookup("c3").count() == 3
+    with pytest.raises(LoadError):
+        t.set_num_buckets(6)  # not a multiple/divisor of a live spec
+
+
+def test_bucket_spec_migration_by_merge_and_compact(spark, tmp_path):
+    """Old-spec files migrate incrementally: a merge folding a bucket
+    they overlap rewrites them whole under the new spec; compact()
+    finishes the tail. State is LWW-correct throughout."""
+    from etl_rs_spark.sinks.lake import _file_spec
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SPEC_DDL, num_buckets=4)
+    b0 = [
+        (f"c{i}", j, i * 10 + j, "I", f"v0-{i}-{j}")
+        for i in range(12)
+        for j in range(3)
+    ]
+    t.merge(_spec_batch(spark, b0), run_id="r", batch_id=0)
+    t.set_num_buckets(8)
+    t.merge(
+        _spec_batch(
+            spark, [("c3", 0, 1000, "U", "v1"), ("c99", 0, 1001, "I", "new")]
+        ),
+        run_id="r",
+        batch_id=1,
+    )
+    rows = {(x["conv_id"], x["turn_idx"]): x["text"] for x in t.read().collect()}
+    assert rows[("c3", 0)] == "v1" and rows[("c99", 0)] == "new"
+    assert len(rows) == 37
+    t.compact()
+    snap = t.current()
+    assert all(_file_spec(f, snap) == 8 for f in snap.files)
+    assert t.read().count() == 37
+    # shrink back down; deletes still route correctly
+    t.set_num_buckets(4)
+    t.merge(_spec_batch(spark, [("c5", 1, 2000, "D", None)]), run_id="r", batch_id=2)
+    assert t.read().count() == 36
+    assert t.lookup("c3").first()["text"] == "v1"
+
+
+def test_bucket_spec_evolution_with_mor_deltas(spark, tmp_path):
+    """Delta files written before the evolution still resolve per-key
+    LWW after it (dirty-set expansion to current-spec ids), in read,
+    lookup and the change feed."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        SPEC_DDL,
+        num_buckets=4,
+        props={"write.merge.mode": "merge-on-read", "write.delta.max-files": 8},
+    )
+    t.merge(
+        _spec_batch(spark, [("a", 0, 1, "I", "v1"), ("b", 0, 2, "I", "b1")]),
+        run_id="r", batch_id=0,
+    )
+    t.merge(_spec_batch(spark, [("a", 0, 3, "U", "v2")]), run_id="r", batch_id=1)
+    assert any(f.get("kind") == "delta" for f in t.current().files)
+    t.set_num_buckets(8)
+    got = {x["conv_id"]: x["text"] for x in t.read().collect()}
+    assert got == {"a": "v2", "b": "b1"}
+    t.merge(_spec_batch(spark, [("b", 0, 4, "U", "b2")]), run_id="r", batch_id=2)
+    got = {x["conv_id"]: x["text"] for x in t.read().collect()}
+    assert got == {"a": "v2", "b": "b2"}
+    assert t.lookup("a").first()["text"] == "v2"
+    ch = {x["conv_id"]: x["_change_type"] for x in t.changes(0).collect()}
+    assert ch == {"a": "upsert", "b": "upsert"}

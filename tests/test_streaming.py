@@ -211,3 +211,61 @@ def test_stateful_running_stats_across_batches(spark, tmp_path, stream, binlog):
     # appears in multiple batches, so it must emit MORE than one row
     hot = got["conv_id"].value_counts().max()
     assert hot >= 2
+
+
+def test_lsn_gap_detection(spark, tmp_path, stream):
+    """A lost binlog segment surfaces as a run-level LSN coverage hole
+    (and a contiguous stream reports none). Detection rides the dedup
+    scan via df.observe — no extra job per batch."""
+    env = to_envelope(stream)
+    lo, hi = [
+        int(x)
+        for x in env.agg(F.min("lsn"), F.max("lsn")).first()
+    ]
+    cut_lo, cut_hi = lo + (hi - lo) // 3, lo + (hi - lo) // 2
+
+    # contiguous run: full stream, no holes
+    d_ok = str(tmp_path / "binlog_ok")
+    write_event_files(env, d_ok, n_files=4)
+    t1 = LakeTable.create(
+        spark, str(tmp_path / "t1"), TABLE_DDL, num_buckets=8
+    )
+    drv1 = StreamDriver(
+        spark, t1, d_ok, str(tmp_path / "ck1"), max_files_per_trigger=2
+    )
+    drv1.run_available_now()
+    cov = drv1.lsn_coverage()
+    assert cov["holes"] == [] and cov["covered"] == [[lo, hi]], cov
+    assert cov["missing_in_batch_ranges"] == 0
+    for s in drv1.batch_stats:
+        assert s["lsn_span"]["missing_in_range"] == 0
+
+    # lossy run: a middle LSN segment never arrives
+    d_bad = str(tmp_path / "binlog_bad")
+    write_event_files(
+        env.where(~F.col("lsn").between(cut_lo, cut_hi)), d_bad, n_files=4
+    )
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "t2"), TABLE_DDL, num_buckets=8
+    )
+    drv2 = StreamDriver(
+        spark, t2, d_bad, str(tmp_path / "ck2"), max_files_per_trigger=2
+    )
+    drv2.run_available_now()
+    cov2 = drv2.lsn_coverage()
+    total_missing = cov2["missing_in_batch_ranges"] + sum(
+        b - a + 1 for a, b in cov2["holes"]
+    )
+    assert total_missing == cut_hi - cut_lo + 1, cov2
+
+    # opt-out: track_lsn_gaps=False records nothing
+    t3 = LakeTable.create(
+        spark, str(tmp_path / "t3"), TABLE_DDL, num_buckets=8
+    )
+    drv3 = StreamDriver(
+        spark, t3, d_ok, str(tmp_path / "ck3"),
+        cfg=CdcConfig(track_lsn_gaps=False),
+    )
+    drv3.run_available_now()
+    assert drv3.lsn_coverage()["covered"] == []
+    assert all(s.get("lsn_span") is None for s in drv3.batch_stats)
