@@ -1,0 +1,140 @@
+"""spark-submit entrypoint for LakeTable administration — the DDL and
+maintenance surface an operator runs against a live CDC table without
+stopping the stream (every operation is one atomic snapshot commit;
+concurrent readers keep their snapshot):
+
+    cd /root/repo && zip -r /tmp/etl_rs_spark.zip etl_rs_spark
+    spark-submit --py-files /tmp/etl_rs_spark.zip \
+        jobs/table_admin_job.py --table /data/transcripts <command> ...
+
+Commands:
+    describe                              print schema/spec/files summary
+    rename-column  --from old --to new    metadata-only (field-id) rename
+    drop-column    --column c             lazy drop (compaction finishes)
+    add-column     --column c --type t    additive with a fresh field id
+    set-num-buckets --num-buckets N       partition-spec evolution
+                                          (metadata-only; N must divide or
+                                          be a multiple of every live spec)
+    compact        [--buckets 1,2,...] [--tombstone-horizon LSN]
+    expire-snapshots [--keep-last K]
+    vacuum         [--older-than-s S]
+    lookup         --keys k1,k2,...       bucket-pruned point lookup
+
+The reference stores rename/partition-evolution knobs and never applies
+them (/root/reference/src/load/delta.rs:62-69); here each is a real,
+atomically-committed operation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="LakeTable admin")
+    p.add_argument("--table", required=True)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("describe")
+
+    r = sub.add_parser("rename-column")
+    r.add_argument("--from", dest="old", required=True)
+    r.add_argument("--to", dest="new", required=True)
+
+    d = sub.add_parser("drop-column")
+    d.add_argument("--column", required=True)
+
+    a = sub.add_parser("add-column")
+    a.add_argument("--column", required=True)
+    a.add_argument("--type", dest="typ", required=True)
+
+    s = sub.add_parser("set-num-buckets")
+    s.add_argument("--num-buckets", type=int, required=True)
+
+    c = sub.add_parser("compact")
+    c.add_argument("--buckets", default=None,
+                   help="comma-separated current-spec bucket ids; omit "
+                        "for a full rewrite")
+    c.add_argument("--tombstone-horizon", type=int, default=None,
+                   help="drop tombstones with lsn <= horizon (safe once "
+                        "no replay can deliver at or below it)")
+
+    e = sub.add_parser("expire-snapshots")
+    e.add_argument("--keep-last", type=int, default=5)
+
+    v = sub.add_parser("vacuum")
+    v.add_argument("--older-than-s", type=float, default=3 * 3600)
+
+    lk = sub.add_parser("lookup")
+    lk.add_argument("--keys", required=True)
+    lk.add_argument("--limit", type=int, default=100)
+
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+
+    from etl_rs_spark.session import get_spark
+    from etl_rs_spark.sinks.lake import LakeTable, _file_spec
+
+    spark = get_spark("table-admin")
+    t = LakeTable.load(spark, args.table)
+
+    if args.cmd == "describe":
+        snap = t.current()
+        out = {
+            "version": snap.version,
+            "schema": {
+                f.name: f.dataType.simpleString()
+                for f in snap.schema().fields
+            },
+            "field_ids": snap.field_ids,
+            "epoch": snap.epoch,
+            "num_buckets": snap.num_buckets,
+            "live_specs": sorted(
+                {_file_spec(f, snap) for f in snap.files}
+            ),
+            "files": len(snap.files),
+            "delta_files": sum(
+                1 for f in snap.files if f.get("kind") == "delta"
+            ),
+            "rows": sum(f.get("rows", 0) for f in snap.files),
+            "watermark_lsn": snap.watermark_lsn,
+            "props": snap.props,
+        }
+    elif args.cmd == "rename-column":
+        out = t.rename_column(args.old, args.new)
+    elif args.cmd == "drop-column":
+        out = t.drop_column(args.column)
+    elif args.cmd == "add-column":
+        out = t.add_column(args.column, args.typ)
+    elif args.cmd == "set-num-buckets":
+        out = t.set_num_buckets(args.num_buckets)
+    elif args.cmd == "compact":
+        buckets = (
+            [int(x) for x in args.buckets.split(",")]
+            if args.buckets
+            else None
+        )
+        out = t.compact(
+            tombstone_lsn_horizon=args.tombstone_horizon, buckets=buckets
+        )
+    elif args.cmd == "expire-snapshots":
+        out = t.expire_snapshots(keep_last=args.keep_last)
+    elif args.cmd == "vacuum":
+        out = t.vacuum_orphans(older_than_s=args.older_than_s)
+    elif args.cmd == "lookup":
+        rows = t.lookup(args.keys.split(",")).limit(args.limit).collect()
+        out = {"rows": [r.asDict() for r in rows]}
+    else:  # pragma: no cover - argparse enforces choices
+        raise SystemExit(2)
+
+    print(json.dumps(out, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
