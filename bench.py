@@ -62,7 +62,8 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
     HEAVY = {
         "change_data_feed", "verified_pairs", "ngram_jaccard_capped",
         "stateful_user_stats", "stateful_user_stats_approx",
-        "cdc_schema_promotion",
+        "cdc_schema_promotion", "cdc_rename_drop", "cdc_bucket_evolution",
+        "cdc_apply_mor",
     }
     from etl_rs_spark import telemetry
 

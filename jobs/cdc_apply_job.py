@@ -111,6 +111,9 @@ def main(argv=None) -> int:
         "batches_applied": len(stats),
         "table_version": table.current().version,
         "watermark_lsn": table.current().watermark_lsn,
+        # binlog integrity at drain: covered LSN ranges + holes (a hole
+        # that persists here is a lost binlog segment, not lateness)
+        "lsn_coverage": driver.lsn_coverage(),
     }))
     return 0
 
