@@ -48,6 +48,7 @@ from etl_rs_spark.cdc.normalize import (
     normalize_events,
 )
 from etl_rs_spark.config import CdcConfig
+from etl_rs_spark.errors import ConfigError
 from etl_rs_spark.operators.dedup import (
     STATS_COLS,
     lww_dedup,
@@ -271,6 +272,21 @@ def apply_batch(
             raw_winners.drop(*STATS_COLS), coerce_spec, coerce=False, keys=keys
         )
         winners = coerce_columns(winners, coerce_spec)
+        # source->table column mapping (the operational pair of
+        # LakeTable.rename_column): metadata-only rename on the winner
+        # frame, so a renamed table keeps absorbing a source that still
+        # emits the old payload key instead of re-widening with it
+        if cfg.column_map:
+            reserved = set(cfg.merge_keys) | set(cfg.order_cols) | {"op"}
+            bad = reserved & set(cfg.column_map)
+            if bad:
+                raise ConfigError(
+                    f"column_map cannot remap merge key/order/op "
+                    f"columns: {sorted(bad)}"
+                )
+            winners = winners.withColumnsRenamed(
+                {k: v for k, v in cfg.column_map.items() if k in winners.columns}
+            )
 
         stats = table.merge(
             winners,

@@ -103,6 +103,15 @@ class CdcConfig:
     #: the happy path stays one pass (the quarantine write job only
     #: runs when bad rows actually exist).
     dead_letter_dir: str | None = None
+    #: source-to-table column mapping applied to each batch's WINNERS
+    #: after payload normalization (a metadata-only withColumnsRenamed,
+    #: JVM-side): the operational pair of LakeTable.rename_column — the
+    #: table renames in place, the source keeps emitting the old
+    #: payload key, and the stream maps it onto the renamed column
+    #: instead of re-widening the schema with the stale name. Keys are
+    #: payload field names; merge key/order columns are not mappable
+    #: (dedup runs before the map). None = identity.
+    column_map: dict | None = None
     #: observe each batch's raw LSN span (count/min/max ride the dedup
     #: scan via df.observe — no extra job) and report per-batch
     #: intra-range holes; StreamDriver folds the spans into run-level

@@ -39,6 +39,12 @@ def parse_args(argv):
     p.add_argument("--dead-letter", default=None,
                    help="quarantine dir for unmergeable envelope rows; "
                         "pass '' to disable a config file's DLQ")
+    p.add_argument("--column-map", default=None,
+                   help="source->table column renames applied to each "
+                        "batch's winners, e.g. 'text=body,tool=agent' — "
+                        "the stream-side pair of table rename-column "
+                        "(jobs/table_admin_job.py) for sources that "
+                        "keep emitting the old payload key")
     p.add_argument("--merge-mode", default=None,
                    choices=["copy-on-write", "merge-on-read"],
                    help="override [cdc].merge_mode / the table's "
@@ -89,6 +95,11 @@ def main(argv=None) -> int:
                          else base_cdc.dead_letter_dir),
         merge_mode=(args.merge_mode if args.merge_mode is not None
                     else base_cdc.merge_mode),
+        column_map=(
+            dict(kv.split("=", 1) for kv in args.column_map.split(","))
+            if args.column_map
+            else base_cdc.column_map
+        ),
     )
     driver = StreamDriver(
         spark,

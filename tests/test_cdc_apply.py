@@ -219,3 +219,25 @@ def test_coerce_spec_widening_promotes_across_restart(spark, tmp_path):
     got = {r["conv_id"]: r["score"] for r in table.read().collect()}
     assert got == {"a": 7, "b": 9, "c": 2**40}
     assert dict(table.read().dtypes)["score"] == "bigint"
+
+
+def test_column_map_guards_merge_columns(spark, tmp_path, stream):
+    """column_map may only remap payload columns — remapping a merge
+    key/order/op column would desync dedup (which runs before the map)
+    and must fail fast as a config error."""
+    from etl_rs_spark.config import CdcConfig
+    from etl_rs_spark.errors import ConfigError
+
+    t = make_table(spark, tmp_path)
+    env = to_envelope(stream).limit(100)
+    with pytest.raises(ConfigError):
+        apply_batch(
+            t, env, batch_id=0, run_id="r",
+            cfg=CdcConfig(column_map={"conv_id": "conversation"}),
+        )
+    # a mapping whose source key never appears is a no-op, not an error
+    stats = apply_batch(
+        t, env, batch_id=0, run_id="r",
+        cfg=CdcConfig(column_map={"nonexistent": "whatever"}),
+    )
+    assert not stats.get("skipped")

@@ -269,3 +269,41 @@ def test_lsn_gap_detection(spark, tmp_path, stream):
     drv3.run_available_now()
     assert drv3.lsn_coverage()["covered"] == []
     assert all(s.get("lsn_span") is None for s in drv3.batch_stats)
+
+
+def test_live_rename_with_stream_column_map(spark, tmp_path, stream, binlog):
+    """The live-rename operational pair: phase 1 streams into the
+    original schema; the table renames text->body WITHOUT stopping
+    ingestion (metadata-only, admin surface); phase 2 resumes the same
+    checkpoint with CdcConfig.column_map={'text': 'body'} so the
+    source's unchanged payload key lands on the renamed column. Final
+    state equals the full-replay oracle with the column renamed, and
+    the stale name must NOT re-widen the schema."""
+    _, files = binlog
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    for f in files[:3]:
+        shutil.copy(f, live)
+    table = _mk_table(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+
+    d1 = StreamDriver(spark, table, live, ckpt, max_files_per_trigger=1)
+    d1.run_available_now(timeout_s=300)
+
+    table.rename_column("text", "body")  # live, no stream stop
+
+    for f in files[3:]:
+        shutil.copy(f, live)
+    d2 = StreamDriver(
+        spark, table, live, ckpt,
+        cfg=CdcConfig(column_map={"text": "body"}),
+        max_files_per_trigger=1,
+    )
+    s2 = d2.run_available_now(timeout_s=300)
+    assert [s["batch_id"] for s in s2] == [3, 4, 5]
+
+    cols = [f.name for f in table.current().schema().fields]
+    assert "body" in cols and "text" not in cols, cols
+
+    oracle = replay(stream.toPandas()).rename(columns={"text": "body"})
+    assert_state_equal(table.read().toPandas(), oracle)
