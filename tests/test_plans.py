@@ -117,3 +117,28 @@ def test_new_pair_entries_plan_no_nested_loop(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_lookup_equality_filter_is_pushed(spark, tmp_path_factory):
+    """A point lookup's residual key filter must land on the parquet
+    scan as a pushed predicate (on top of the manifest-level bucket
+    prune) — at 100 TB the row-group stats then skip within the
+    bucket's files too."""
+    from etl_rs_spark.sinks.lake import LakeTable
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path_factory.mktemp("lkp") / "t"),
+        "conv_id string, turn_idx int, ts timestamp",
+        num_buckets=4,
+    )
+    t.append(
+        spark.range(40).select(
+            F.format_string("c%d", F.col("id") % 8).alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        )
+    )
+    df = t.lookup(["c1", "c5"])
+    got = plans.pushed_filters(df)
+    assert "In(conv_id" in got, f"lookup filter not pushed: {got!r}"
