@@ -295,6 +295,10 @@ def apply_batch(
             batch_stats={
                 "bucket_counts": {b: s["n"] for b, s in per_bucket.items()},
                 "hi_lsn": hi_lsn,
+                # spec the prescan hashed under: lets the merge detect a
+                # set_num_buckets committed since and recompute instead
+                # of routing on stale bucket ids
+                "spec_n": snap.num_buckets,
             },
             mode=cfg.merge_mode,
         )

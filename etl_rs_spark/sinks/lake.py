@@ -1460,6 +1460,16 @@ class LakeTable:
         debug = os.environ.get("ETL_DEBUG_MERGE")
         stage_ms: dict[str, int] = {}
         src = self._with_bucket(winners, snap)
+        # caller-provided stats are only valid under the bucket spec
+        # they were computed with; a set_num_buckets committed between
+        # the caller's prescan and this merge would otherwise route the
+        # fold/delta split on stale bucket ids (and silently drop rows
+        # from both legs). Stats carrying a mismatched spec_n — or none,
+        # from a pre-evolution caller — are recomputed here.
+        if batch_stats is not None and (
+            batch_stats.get("spec_n", snap.num_buckets) != snap.num_buckets
+        ):
+            batch_stats = None
         if batch_stats is not None:
             incoming_counts = dict(batch_stats["bucket_counts"])
             hi_lsn = batch_stats.get("hi_lsn")

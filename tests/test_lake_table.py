@@ -1072,3 +1072,31 @@ def test_bucket_spec_evolution_with_mor_deltas(spark, tmp_path):
     assert t.lookup("a").first()["text"] == "v2"
     ch = {x["conv_id"]: x["_change_type"] for x in t.changes(0).collect()}
     assert ch == {"a": "upsert", "b": "upsert"}
+
+
+def test_merge_rejects_stale_spec_batch_stats(spark, tmp_path):
+    """A set_num_buckets committed between a caller's prescan and the
+    merge must not route the fold/delta split on stale bucket ids: the
+    merge detects the spec mismatch via batch_stats['spec_n'] and
+    recomputes — no rows lost."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SPEC_DDL, num_buckets=4)
+    b = _spec_batch(
+        spark, [(f"c{i}", 0, i + 1, "I", f"v{i}") for i in range(20)]
+    )
+    # stats computed under the OLD spec (what apply_batch's prescan
+    # would have produced just before the DDL landed)
+    stale_counts = {
+        r["__b"]: r["n"]
+        for r in b.groupBy(bucket_expr("conv_id", 4).alias("__b"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    t.set_num_buckets(8)  # racing DDL
+    t.merge(
+        b,
+        run_id="r",
+        batch_id=0,
+        batch_stats={"bucket_counts": stale_counts, "hi_lsn": 20, "spec_n": 4},
+    )
+    assert t.read().count() == 20  # nothing dropped
+    assert t.current().watermark_lsn == 20
