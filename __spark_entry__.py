@@ -1131,6 +1131,112 @@ def q_cdc_bucket_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed read with Iceberg-style data skipping: the
+    event changelog is merged into a LakeTable, then
+    ``read(ts_range=(lo, hi))`` returns the CURRENT state restricted to
+    the window — the manifest's per-file min/max event time (parquet
+    footer stats) excludes every file wholly below ``lo`` from the scan
+    (prune is exact under (ts, lsn) LWW: an older-than-window row can
+    neither land in the window nor supersede a row in it — proof in
+    sinks/lake.py read()). Oracle: LWW winner per key, deletes excluded,
+    ts within the same window. On a years-deep 100-TB transcript store
+    this is the read pattern that must cost O(window), not O(table);
+    the pruning itself is plan-asserted in tests/test_lake_table.py::
+    test_ts_range_read_prunes_old_era_files."""
+    import tempfile
+
+    from etl_rs_spark.sinks.lake import LakeTable
+
+    e = _t(spark, sf_dir, "events")
+    env = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.round("value", 2).alias("value"),
+    )
+    work = tempfile.mkdtemp(prefix="tsrange-entry-")
+    t = LakeTable.create(
+        spark,
+        f"{work}/t",
+        "conv_id string, turn_idx int, value double, ts timestamp",
+        num_buckets=8,
+    )
+    t.merge(
+        lww_dedup(env, keys=["conv_id", "turn_idx"], order_cols=["ts", "lsn"]),
+        run_id="tr",
+        batch_id=0,
+    )
+    win = t.read(ts_range=("2024-01-29", "2024-01-30 12:00:00"))
+    return win.select(
+        F.col("conv_id").cast("long").alias("user_id"), "value", "ts"
+    )
+
+
+def q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback under the oracle — the bad-deploy recovery
+    story: batch 0 and batch 1 merge in sequence, ``rollback(v1)``
+    undoes batch 1 with a METADATA-ONLY commit (Iceberg
+    rollback_to_snapshot), and because the rollback restores the
+    exactly-once applied-batch log along with the file set, replaying
+    batch 1 afterwards re-applies cleanly instead of being skipped.
+    The query returns BOTH phases tagged: the rolled-back state must
+    equal the batch-0-only LWW replay, and the replayed state must
+    equal the full replay — one hash checks restoration AND
+    post-rollback convergence."""
+    import tempfile
+
+    from etl_rs_spark.sinks.lake import LakeTable
+
+    e = _t(spark, sf_dir, "events")
+    split = int(e.agg(F.max("event_id")).first()[0]) // 2
+
+    def _batch(pred):
+        return lww_dedup(
+            e.where(pred).select(
+                F.col("user_id").cast("string").alias("conv_id"),
+                F.lit(0).alias("turn_idx"),
+                F.col("ts").cast("timestamp").alias("ts"),
+                F.col("event_id").alias("lsn"),
+                F.when(F.col("event_type") == "error", F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+                F.round("value", 2).alias("value"),
+            ),
+            keys=["conv_id", "turn_idx"],
+            order_cols=["ts", "lsn"],
+        )
+
+    work = tempfile.mkdtemp(prefix="rollback-entry-")
+    t = LakeTable.create(
+        spark,
+        f"{work}/t",
+        "conv_id string, turn_idx int, value double, ts timestamp",
+        num_buckets=8,
+    )
+    t.merge(_batch(F.col("event_id") <= split), run_id="rb", batch_id=0)
+    v1 = t.current().version
+    t.merge(_batch(F.col("event_id") > split), run_id="rb", batch_id=1)
+    t.rollback(v1)
+
+    def _state(tag: str) -> DataFrame:
+        return t.read().select(
+            F.lit(tag).alias("phase"),
+            F.col("conv_id").cast("long").alias("user_id"),
+            "value",
+            "ts",
+        )
+
+    rolled = _state("rolled_back").localCheckpoint(eager=True)
+    # the restored applied log forgets batch 1 -> this is NOT a no-op
+    t.merge(_batch(F.col("event_id") > split), run_id="rb", batch_id=1)
+    return rolled.unionByName(_state("replayed"))
+
+
 # -------------------------------------------------------------- contract --
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -1185,6 +1291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": q_point_lookup,
         "cdc_rename_drop": q_cdc_rename_drop,
         "cdc_bucket_evolution": q_cdc_bucket_evolution,
+        "time_range_scan": q_time_range_scan,
+        "cdc_rollback": q_cdc_rollback,
     }
 
 
@@ -1767,6 +1875,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, round(value, 2) AS value, ts
             FROM winners
             WHERE op <> 'D' AND user_id IN (1,2,3,4,5,6,7,8,9,10)
+        """,
+        "time_range_scan": """
+            WITH w AS (
+                SELECT user_id, ts, event_type,
+                       round(value, 2) AS value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events
+            )
+            SELECT user_id, value, ts
+            FROM w
+            WHERE rn = 1 AND event_type <> 'error'
+              AND ts >= TIMESTAMP '2024-01-29'
+              AND ts <= TIMESTAMP '2024-01-30 12:00:00'
+        """,
+        "cdc_rollback": """
+            WITH split AS (SELECT max(event_id) // 2 AS wm FROM events),
+            w1 AS (
+                SELECT user_id, ts, event_type,
+                       round(value, 2) AS value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events
+                WHERE event_id <= (SELECT wm FROM split)
+            ),
+            wa AS (
+                SELECT user_id, ts, event_type,
+                       round(value, 2) AS value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events
+            )
+            SELECT 'rolled_back' AS phase, user_id, value, ts
+            FROM w1 WHERE rn = 1 AND event_type <> 'error'
+            UNION ALL
+            SELECT 'replayed' AS phase, user_id, value, ts
+            FROM wa WHERE rn = 1 AND event_type <> 'error'
         """,
         "cdc_bucket_evolution": """
             WITH w AS (

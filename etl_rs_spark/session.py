@@ -68,6 +68,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # int64-micros timestamps (the Iceberg physical type), NOT the
+        # legacy INT96 default: INT96 columns carry no parquet min/max
+        # statistics, which would blind the manifest's per-file
+        # event-time stats (LakeTable ts_range file skipping) and every
+        # reader's row-group pruning on ts predicates.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # CDC envelope scans are CPU-bound (JSON payload parse), not
         # IO-bound: smaller splits keep every core busy even when the

@@ -76,35 +76,86 @@ _BUCKET = "__b"
 _OP = "op"
 
 
-def _footer_stats(path: str) -> dict[str, Any]:
-    """Row count and min/max ``_lsn`` from the parquet footer — no data
-    read. The LSN range feeds the manifest so incremental readers
-    (``changes()``) can skip whole files below the watermark, the same
-    role Iceberg's per-file column stats play in metadata pruning. Files
-    whose footer lacks LSN statistics get None (never pruned)."""
+def _stat_micros(v: Any) -> int | None:
+    """Normalize a parquet footer min/max value for the event-time
+    column to an integer: epoch MICROSECONDS for timestamps (pyarrow
+    hands back tz-aware datetimes for TIMESTAMP_MICROS columns), the
+    raw integer for integer order columns, None for anything the
+    manifest can't compare (such columns simply never prune)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        return (v - epoch) // datetime.timedelta(microseconds=1)
+    if isinstance(v, int):
+        return v
+    return None
+
+
+def _bound_micros(v: Any) -> int | None:
+    """An event-time bound (datetime, ISO string, or raw int for
+    integer order columns) as epoch microseconds, for comparison with
+    the manifest's ``min_ts``/``max_ts``. None when unconvertible — the
+    caller then skips the file-level prune and relies on the residual
+    row filter alone (always correct, just unpruned)."""
+    import datetime
+
+    if isinstance(v, str):
+        try:
+            v = datetime.datetime.fromisoformat(v)
+        except ValueError:
+            return None
+    return _stat_micros(v)
+
+
+def _footer_stats(path: str, ts_col: str | None = None) -> dict[str, Any]:
+    """Row count, min/max ``_lsn``, and (when ``ts_col`` is given)
+    min/max event time from the parquet footer — no data read. The LSN
+    range feeds the manifest so incremental readers (``changes()``) can
+    skip whole files below the watermark; the event-time range feeds
+    ``read(ts_range=...)`` file skipping — the same role Iceberg's
+    per-file column stats play in metadata pruning. Columns whose
+    footer lacks statistics get None (never pruned); legacy INT96
+    timestamp files carry no stats and are likewise never pruned."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
-    mn: int | None = None
-    mx: int | None = None
-    seen = False
+    acc: dict[str, list[Any]] = {LSN_COL: [None, None, False]}
+    if ts_col:
+        acc[ts_col] = [None, None, False]
     for g in range(md.num_row_groups):
         rg = md.row_group(g)
         for i in range(rg.num_columns):
             col = rg.column(i)
-            if col.path_in_schema == LSN_COL:
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    return {"rows": md.num_rows, "min_lsn": None, "max_lsn": None}
-                seen = True
-                mn = st.min if mn is None else min(mn, st.min)
-                mx = st.max if mx is None else max(mx, st.max)
-    if not seen:
-        mn = mx = None
-    return {"rows": md.num_rows, "min_lsn": mn, "max_lsn": mx}
+            slot = acc.get(col.path_in_schema)
+            if slot is None:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                # one stats-less row group poisons the whole file's
+                # range: mark unusable (None, but "seen")
+                slot[0] = slot[1] = None
+                slot[2] = None
+                continue
+            if slot[2] is None:
+                continue
+            slot[0] = st.min if slot[0] is None else min(slot[0], st.min)
+            slot[1] = st.max if slot[1] is None else max(slot[1], st.max)
+            slot[2] = True
+    lsn_mn, lsn_mx, _ = acc[LSN_COL]
+    out = {"rows": md.num_rows, "min_lsn": lsn_mn, "max_lsn": lsn_mx}
+    if ts_col:
+        ts_mn, ts_mx, _ = acc[ts_col]
+        out["min_ts"] = _stat_micros(ts_mn)
+        out["max_ts"] = _stat_micros(ts_mx)
+    return out
 
 
-def _footer_stats_many(paths: list[str]) -> dict[str, dict[str, Any]]:
+def _footer_stats_many(
+    paths: list[str], ts_col: str | None = None
+) -> dict[str, dict[str, Any]]:
     """Footer stats for many files, read concurrently — keeps the
     per-commit driver bookkeeping O(1) wall-clock in the file count
     instead of a serial per-file loop."""
@@ -113,7 +164,7 @@ def _footer_stats_many(paths: list[str]) -> dict[str, dict[str, Any]]:
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
-        return dict(zip(paths, ex.map(_footer_stats, paths)))
+        return dict(zip(paths, ex.map(lambda p: _footer_stats(p, ts_col), paths)))
 
 
 def _promote_type(
@@ -633,7 +684,29 @@ class LakeTable:
         include_meta: bool = False,
         buckets: Sequence[int] | None = None,
         as_of_ms: int | None = None,
+        ts_range: tuple[Any, Any] | None = None,
     ) -> DataFrame:
+        """Read the table's current (LWW-resolved, tombstone-filtered)
+        state, optionally restricted to ``buckets`` (manifest-pruned)
+        and/or an event-time window ``ts_range=(lo, hi)`` over the
+        first order column (each bound a datetime, ISO string, or None
+        for open-ended).
+
+        ``ts_range`` is Iceberg-style DATA SKIPPING, not just a filter:
+        the manifest stores each file's min/max event time (parquet
+        footer stats captured at write time), and every file whose
+        max_ts lies strictly BELOW ``lo`` is never opened. That prune
+        is exact for ANY mix of base files, merge-on-read deltas,
+        appends and schema epochs, because resolution orders by
+        (ts, lsn): a row with ts < lo can neither be a result row
+        (results need ts >= lo) nor supersede one (it loses LWW to any
+        row with ts >= lo). Files ABOVE the window cannot be skipped —
+        a newer version of a key supersedes (deletes-from-the-window) an
+        in-range row — so they stay in the scan and the residual
+        ``ts <= hi`` filter lands post-resolution. The dominant 100-TB
+        access pattern ("the last day/week of a years-deep transcript
+        store") therefore reads O(window), not O(table). Files from
+        pre-stats manifests (no max_ts) are conservatively read."""
         if as_of_ms is not None:
             if version is not None:
                 raise LoadError("pass version OR as_of_ms, not both")
@@ -648,6 +721,16 @@ class LakeTable:
             # holds sibling buckets' keys; a residual hash filter keeps
             # bucket-restricted reads row-exact across spec evolution
             mixed = any(_file_spec(f, snap) != snap.num_buckets for f in files)
+        lo = hi = None
+        if ts_range is not None:
+            lo, hi = ts_range
+            lo_us = _bound_micros(lo)
+            if lo_us is not None:
+                files = [
+                    f
+                    for f in files
+                    if f.get("max_ts") is None or f["max_ts"] >= lo_us
+                ]
         df = self._resolved_scan(snap, files, include_meta)
         if mixed:
             df = df.where(
@@ -655,6 +738,20 @@ class LakeTable:
                     list(wanted)
                 )
             )
+        if ts_range is not None:
+            tcol = F.col(snap.order_cols[0])
+            ttype = next(
+                (
+                    f.dataType
+                    for f in snap.schema().fields
+                    if f.name == snap.order_cols[0]
+                ),
+                T.TimestampType(),
+            )
+            if lo is not None:
+                df = df.where(tcol >= F.lit(lo).cast(ttype))
+            if hi is not None:
+                df = df.where(tcol <= F.lit(hi).cast(ttype))
         return df
 
     def _resolved_scan(
@@ -908,6 +1005,40 @@ class LakeTable:
             "previous": snap.num_buckets,
         }
 
+    def rollback(self, version: int) -> dict[str, Any]:
+        """Roll the table back to an earlier snapshot — the CDC
+        operator's undo for a bad deploy / poisoned batch. Iceberg
+        parity: ``rollback_to_snapshot`` — a METADATA-ONLY commit (no
+        data rewrite): the new snapshot is version N+1 whose entire
+        content (file set, schema, field ids, bucket spec, applied-batch
+        log, LSN watermark) is the target's, so history is preserved
+        (the undone versions remain time-travelable until
+        ``expire_snapshots``) and the restore itself is atomic under the
+        same claim-slot arbitration as every other commit.
+
+        Restoring ``applied`` and ``watermark_lsn`` is what makes the
+        recovery story complete: the exactly-once (run_id, batch_id) log
+        forgets the rolled-back batches, so re-running the stream from
+        the pre-rollback checkpoint (or replaying the binlog window with
+        a fixed pipeline) re-applies them cleanly instead of being
+        silently skipped. Undone data files stay on disk referenced by
+        their version manifests; ``expire_snapshots`` + ``vacuum``
+        reclaim them on the normal schedule."""
+        cur = self.current()
+        if version >= cur.version:
+            raise LoadError(
+                f"rollback target {version} is not an ancestor of "
+                f"current version {cur.version}"
+            )
+        target = self.snapshot(version)
+        new_snap = target.child(version=cur.version + 1)
+        self._commit(new_snap)
+        return {
+            "version": new_snap.version,
+            "restored": version,
+            "undone": cur.version - version,
+        }
+
     def changes(
         self,
         from_version: int,
@@ -1070,11 +1201,14 @@ class LakeTable:
         bucket_volume: dict[int, int] | None = None,
         props: dict[str, Any] | None = None,
         epoch: int = 0,
+        ts_col: str | None = None,
     ) -> list[dict[str, Any]]:
         """Write df (which must carry _BUCKET) under a fresh commit dir
-        and return [{path, bucket, rows, min_lsn, max_lsn, epoch}] for
-        the manifest (``epoch`` records which rename/drop epoch's
-        physical column names the files carry — see Snapshot.epoch).
+        and return [{path, bucket, rows, min_lsn, max_lsn, min_ts,
+        max_ts, epoch}] for the manifest (``epoch`` records which
+        rename/drop epoch's physical column names the files carry — see
+        Snapshot.epoch; ``ts_col`` is the event-time column whose
+        footer min/max feed ``read(ts_range=...)`` file skipping).
 
         Skew-aware write planning: when ``bucket_volume`` (expected rows
         per bucket — existing + incoming, known exactly from manifest
@@ -1147,7 +1281,7 @@ class LakeTable:
         writer.parquet(commit_dir)
         t_f = time.monotonic()
         paths = glob.glob(os.path.join(commit_dir, f"{_BUCKET}=*", "*.parquet"))
-        stats = _footer_stats_many(paths)
+        stats = _footer_stats_many(paths, ts_col)
         if os.environ.get("ETL_DEBUG_MERGE"):
             print(
                 f"[write] job: {t_f-t_w:.1f}s footers({len(paths)}): "
@@ -1174,6 +1308,7 @@ class LakeTable:
                 snap.num_buckets,
                 props=snap.props,
                 epoch=snap.epoch,
+                ts_col=snap.order_cols[0],
             ),
         )
         self._commit(new)
@@ -1190,6 +1325,7 @@ class LakeTable:
                 snap.num_buckets,
                 props=snap.props,
                 epoch=snap.epoch,
+                ts_col=snap.order_cols[0],
             ),
         )
         self._commit(new)
@@ -1329,6 +1465,7 @@ class LakeTable:
             bucket_volume=vol,
             props=snap.props,
             epoch=snap.epoch,
+            ts_col=snap.order_cols[0],
         )
         target_paths = {f["path"] for f in target}
         new_snap = snap.child(
@@ -1574,6 +1711,7 @@ class LakeTable:
                 bucket_volume=volume,
                 props=snap.props,
                 epoch=snap.epoch,
+                ts_col=snap.order_cols[0],
             )
         if cold:
             # -- DELTA leg: append the batch winners as delta files for
@@ -1608,6 +1746,7 @@ class LakeTable:
                 bucket_volume=dvol,
                 props=snap.props,
                 epoch=snap.epoch,
+                ts_col=snap.order_cols[0],
             )
             for f in dfiles:
                 f["kind"] = "delta"

@@ -61,6 +61,9 @@ def parse_args(argv):
                    help="drop tombstones with lsn <= horizon (safe once "
                         "no replay can deliver at or below it)")
 
+    rb = sub.add_parser("rollback")
+    rb.add_argument("--to-version", type=int, required=True)
+
     e = sub.add_parser("expire-snapshots")
     e.add_argument("--keep-last", type=int, default=5)
 
@@ -122,6 +125,8 @@ def main(argv=None) -> int:
         out = t.compact(
             tombstone_lsn_horizon=args.tombstone_horizon, buckets=buckets
         )
+    elif args.cmd == "rollback":
+        out = t.rollback(args.to_version)
     elif args.cmd == "expire-snapshots":
         out = t.expire_snapshots(keep_last=args.keep_last)
     elif args.cmd == "vacuum":

@@ -1100,3 +1100,151 @@ def test_merge_rejects_stale_spec_batch_stats(spark, tmp_path):
     )
     assert t.read().count() == 20  # nothing dropped
     assert t.current().watermark_lsn == 20
+
+
+def _cdc_env(spark, rows):
+    """(lsn, op, conv_id, ts) rows as a CDC envelope frame."""
+    return spark.createDataFrame(
+        [
+            (lsn, op, cid, 0, ts, '{"text": "x%d"}' % lsn)
+            for lsn, op, cid, ts in rows
+        ],
+        "lsn long, op string, conv_id string, turn_idx int, "
+        "ts timestamp, payload string",
+    )
+
+
+def test_ts_range_read_prunes_old_era_files(spark, tmp_path):
+    """Event-time data skipping: a recent-window read must never open
+    files whose manifest max_ts lies wholly below the window — the
+    dominant access pattern on a years-deep transcript store."""
+    from etl_rs_spark.cdc.apply import apply_batch
+    from etl_rs_spark.config import CdcConfig
+
+    cfg = CdcConfig(num_buckets=8)
+    ddl = "conv_id string, turn_idx int, text string, ts timestamp"
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl, num_buckets=8)
+    era1 = __import__("datetime").datetime(2024, 1, 1)
+    era2 = __import__("datetime").datetime(2024, 6, 1)
+    apply_batch(
+        t,
+        _cdc_env(spark, [(i, "U", f"c{i}", era1) for i in range(64)]),
+        batch_id=0,
+        run_id="r",
+        cfg=cfg,
+    )
+    apply_batch(
+        t,
+        _cdc_env(spark, [(100, "U", "c0", era2)]),
+        batch_id=1,
+        run_id="r",
+        cfg=cfg,
+    )
+    snap = t.current()
+    # every merged file carries event-time stats
+    assert all(
+        f.get("min_ts") is not None and f.get("max_ts") is not None
+        for f in snap.files
+    )
+    lo = __import__("datetime").datetime(2024, 3, 1)
+    lo_us = int(lo.replace(tzinfo=__import__("datetime").timezone.utc).timestamp()) * 10**6
+    keep = {
+        os.path.abspath(f["path"])
+        for f in snap.files
+        if f["max_ts"] >= lo_us
+    }
+    win = t.read(ts_range=(lo, None))
+    opened = {os.path.abspath(p.replace("file:", "")) for p in win.inputFiles()}
+    assert opened, "windowed read scanned no files"
+    assert opened <= keep, f"opened pruned files: {opened - keep}"
+    assert len(opened) < len(snap.files)
+    # value-exact vs the unpruned filter
+    full = t.read().where(F.col("ts") >= F.lit(lo)).collect()
+    assert sorted(map(tuple, win.collect())) == sorted(map(tuple, full))
+    assert {r["conv_id"] for r in full} == {"c0"}
+
+
+def test_ts_range_above_window_supersession_is_exact(spark, tmp_path):
+    """A newer out-of-window event (here a delete) must still suppress
+    an in-window row: files ABOVE the window are never pruned, only
+    files wholly below the lower bound are."""
+    import datetime as dt
+
+    from etl_rs_spark.cdc.apply import apply_batch
+    from etl_rs_spark.config import CdcConfig
+
+    cfg = CdcConfig(num_buckets=4)
+    ddl = "conv_id string, turn_idx int, text string, ts timestamp"
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl, num_buckets=4)
+    era1, era2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    apply_batch(
+        t,
+        _cdc_env(spark, [(1, "U", "a", era1), (2, "U", "b", era1)]),
+        batch_id=0,
+        run_id="r",
+        cfg=cfg,
+    )
+    apply_batch(
+        t,
+        _cdc_env(spark, [(3, "D", "a", era2)]),
+        batch_id=1,
+        run_id="r",
+        cfg=cfg,
+    )
+    got = t.read(
+        ts_range=(dt.datetime(2023, 12, 1), dt.datetime(2024, 2, 1))
+    ).collect()
+    # 'a' was deleted by a newer (out-of-window) tombstone; only 'b' lives
+    assert {r["conv_id"] for r in got} == {"b"}
+    # ISO-string bounds behave identically
+    got2 = t.read(ts_range=("2023-12-01", "2024-02-01")).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, got))
+
+
+def test_rollback_restores_state_and_replays_exactly_once(spark, tmp_path):
+    """rollback(v) is a metadata-only undo: table state, watermark and
+    the exactly-once applied-batch log all return to v, so the undone
+    batches re-apply cleanly from a pre-rollback checkpoint instead of
+    being skipped — the bad-deploy recovery story."""
+    import datetime as dt
+
+    from etl_rs_spark.cdc.apply import apply_batch
+    from etl_rs_spark.config import CdcConfig
+
+    cfg = CdcConfig(num_buckets=4)
+    ddl = "conv_id string, turn_idx int, text string, ts timestamp"
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl, num_buckets=4)
+    ts = dt.datetime(2024, 1, 1)
+    b0 = _cdc_env(spark, [(1, "U", "a", ts), (2, "U", "b", ts)])
+    b1 = _cdc_env(spark, [(3, "U", "c", ts), (4, "D", "a", ts)])
+    b2 = _cdc_env(spark, [(5, "U", "poison", ts)])
+    apply_batch(t, b0, batch_id=0, run_id="r", cfg=cfg)
+    v_good = t.current().version
+    apply_batch(t, b1, batch_id=1, run_id="r", cfg=cfg)
+    v_b1 = t.current().version
+    apply_batch(t, b2, batch_id=2, run_id="r", cfg=cfg)
+    v_bad = t.current().version
+    state_b1 = sorted(map(tuple, t.read(version=v_b1).collect()))
+
+    out = t.rollback(v_b1)
+    assert out["restored"] == v_b1 and out["version"] == v_bad + 1
+    assert sorted(map(tuple, t.read().collect())) == state_b1
+    snap = t.current()
+    assert snap.watermark_lsn == t.snapshot(v_b1).watermark_lsn
+    # the applied log forgot batch 2 -> replaying it is NOT a no-op
+    assert snap.applied == t.snapshot(v_b1).applied
+    # undone snapshots stay time-travelable until expiry
+    assert {r["conv_id"] for r in t.read(version=v_bad).collect()} >= {
+        "poison"
+    }
+    # replay the undone batch: state converges to the pre-rollback final
+    apply_batch(t, b2, batch_id=2, run_id="r", cfg=cfg)
+    assert sorted(map(tuple, t.read().collect())) == sorted(
+        map(tuple, t.read(version=v_bad).collect())
+    )
+    # guards
+    with pytest.raises(LoadError):
+        t.rollback(t.current().version)
+    # rollback to the very first merge still works and is itself undoable
+    t.rollback(v_good)
+    assert {r["conv_id"] for r in t.read().collect()} == {"a", "b"}

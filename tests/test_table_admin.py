@@ -60,3 +60,9 @@ def test_admin_ddl_and_maintenance_roundtrip(spark, tmp_path, table, capsys):
     d2 = _run(capsys, p, "describe")
     assert d2["live_specs"] == [8] and "lang" not in d2["schema"]
     assert table.read().count() == 20
+    # operational undo: roll the whole DDL run back to the initial load
+    rb = _run(capsys, p, "rollback", "--to-version", "1")
+    assert rb["restored"] == 1 and rb["undone"] >= 5
+    d3 = _run(capsys, p, "describe")
+    assert d3["num_buckets"] == 4 and "text" in d3["schema"]
+    assert table.read().count() == 20
