@@ -94,6 +94,20 @@ def _stat_micros(v: Any) -> int | None:
     return None
 
 
+def _sort_order(snap: "Snapshot") -> list[str]:
+    """The write sort order from the snapshot's ``write.sort-order``
+    property: ``keys`` (default — sort each written bucket by the
+    table's key columns, Iceberg WRITE ORDERED BY parity), ``none``
+    (skip the in-task sort), or an explicit comma-separated column
+    list."""
+    so = str(snap.props.get("write.sort-order", "keys"))
+    if so == "keys":
+        return list(snap.key_cols)
+    if so in ("none", ""):
+        return []
+    return [c.strip() for c in so.split(",") if c.strip()]
+
+
 def _bound_micros(v: Any) -> int | None:
     """An event-time bound (datetime, ISO string, or raw int for
     integer order columns) as epoch microseconds, for comparison with
@@ -1005,6 +1019,27 @@ class LakeTable:
             "previous": snap.num_buckets,
         }
 
+    def set_properties(self, props: dict[str, Any]) -> dict[str, Any]:
+        """Update table write properties with a metadata-only commit
+        (Iceberg ALTER TABLE ... SET TBLPROPERTIES): merge semantics —
+        given keys overwrite, a None value unsets the key, everything
+        else carries forward. Properties steer WRITE behavior only
+        (write.compression, write.target-file-rows, write.merge.mode,
+        write.delta.max-files, write.sort-order), so changing them
+        mid-stream is always safe: existing files keep whatever shape
+        they were written with and are resolved/compacted under the
+        usual rules."""
+        snap = self.current()
+        merged = dict(snap.props)
+        for k, v in props.items():
+            if v is None:
+                merged.pop(k, None)
+            else:
+                merged[k] = v
+        new_snap = snap.child(props=merged)
+        self._commit(new_snap)
+        return {"version": new_snap.version, "props": merged}
+
     def rollback(self, version: int) -> dict[str, Any]:
         """Roll the table back to an earlier snapshot — the CDC
         operator's undo for a bad deploy / poisoned batch. Iceberg
@@ -1202,6 +1237,7 @@ class LakeTable:
         props: dict[str, Any] | None = None,
         epoch: int = 0,
         ts_col: str | None = None,
+        sort_cols: Sequence[str] | None = None,
     ) -> list[dict[str, Any]]:
         """Write df (which must carry _BUCKET) under a fresh commit dir
         and return [{path, bucket, rows, min_lsn, max_lsn, min_ts,
@@ -1228,7 +1264,18 @@ class LakeTable:
         reference's DeltaLoader stores the analogous max_rows_per_file
         and never applies it, /root/reference/src/load/delta.rs:62-69).
         ``write.compression`` picks the parquet codec (snappy default,
-        zstd/gzip/...)."""
+        zstd/gzip/...).
+
+        ``sort_cols`` (normally the snapshot's key columns via
+        ``_sort_order``, Iceberg WRITE ORDERED BY parity): rows are
+        sorted WITHIN each write task before hitting parquet, so every
+        row group's min/max stats on the keys are tight ranges instead
+        of the whole key space — a pushed key-equality predicate (point
+        lookup) then skips row groups inside a big bucket's files, and
+        sorted keys dictionary/RLE-compress better. Costs one in-task
+        sort per written bucket (no extra shuffle: sortWithinPartitions
+        rides the existing repartition); disable per table with
+        ``write.sort-order = none``."""
         props = props or {}
         target_rows = props.get("write.target-file-rows")
         compression = props.get("write.compression")
@@ -1274,6 +1321,10 @@ class LakeTable:
                 shuffled = df.repartition(wp, F.col(_BUCKET))
         else:
             shuffled = df.repartition(wp, F.col(_BUCKET))
+        if sort_cols:
+            shuffled = shuffled.sortWithinPartitions(
+                _BUCKET, *[c for c in sort_cols if c in df.columns]
+            )
         t_w = time.monotonic()
         writer = shuffled.write.partitionBy(_BUCKET).mode("overwrite")
         if compression:
@@ -1309,6 +1360,7 @@ class LakeTable:
                 props=snap.props,
                 epoch=snap.epoch,
                 ts_col=snap.order_cols[0],
+                sort_cols=_sort_order(snap),
             ),
         )
         self._commit(new)
@@ -1326,6 +1378,7 @@ class LakeTable:
                 props=snap.props,
                 epoch=snap.epoch,
                 ts_col=snap.order_cols[0],
+                sort_cols=_sort_order(snap),
             ),
         )
         self._commit(new)
@@ -1466,6 +1519,7 @@ class LakeTable:
             props=snap.props,
             epoch=snap.epoch,
             ts_col=snap.order_cols[0],
+            sort_cols=_sort_order(snap),
         )
         target_paths = {f["path"] for f in target}
         new_snap = snap.child(
@@ -1712,6 +1766,7 @@ class LakeTable:
                 props=snap.props,
                 epoch=snap.epoch,
                 ts_col=snap.order_cols[0],
+                sort_cols=_sort_order(snap),
             )
         if cold:
             # -- DELTA leg: append the batch winners as delta files for
@@ -1747,6 +1802,7 @@ class LakeTable:
                 props=snap.props,
                 epoch=snap.epoch,
                 ts_col=snap.order_cols[0],
+                sort_cols=_sort_order(snap),
             )
             for f in dfiles:
                 f["kind"] = "delta"

@@ -64,6 +64,15 @@ def parse_args(argv):
     rb = sub.add_parser("rollback")
     rb.add_argument("--to-version", type=int, required=True)
 
+    sp = sub.add_parser("set-property")
+    sp.add_argument(
+        "--prop",
+        action="append",
+        required=True,
+        metavar="KEY=VALUE",
+        help="repeatable; KEY= (empty value) unsets the key",
+    )
+
     e = sub.add_parser("expire-snapshots")
     e.add_argument("--keep-last", type=int, default=5)
 
@@ -127,6 +136,12 @@ def main(argv=None) -> int:
         )
     elif args.cmd == "rollback":
         out = t.rollback(args.to_version)
+    elif args.cmd == "set-property":
+        props = {}
+        for kv in args.prop:
+            k, _, v = kv.partition("=")
+            props[k] = v if v != "" else None
+        out = t.set_properties(props)
     elif args.cmd == "expire-snapshots":
         out = t.expire_snapshots(keep_last=args.keep_last)
     elif args.cmd == "vacuum":

@@ -1248,3 +1248,52 @@ def test_rollback_restores_state_and_replays_exactly_once(spark, tmp_path):
     # rollback to the very first merge still works and is itself undoable
     t.rollback(v_good)
     assert {r["conv_id"] for r in t.read().collect()} == {"a", "b"}
+
+
+def test_write_sort_order_sorts_within_files(spark, tmp_path):
+    """write.sort-order=keys (default): every written file's rows are
+    key-sorted, so parquet row-group stats on the keys are tight and a
+    pushed key-equality predicate skips row groups inside big buckets
+    (Iceberg WRITE ORDERED BY). Disable with write.sort-order=none."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from etl_rs_spark.cdc.apply import apply_batch
+    from etl_rs_spark.config import CdcConfig
+    from etl_rs_spark.sinks.lake import _sort_order
+
+    cfg = CdcConfig(num_buckets=2)
+    ddl = "conv_id string, turn_idx int, text string, ts timestamp"
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl, num_buckets=2)
+    ts = dt.datetime(2024, 1, 1)
+    # shuffled key order in the source
+    rows = [(i, "U", f"c{(i * 37) % 50}", 0, ts, '{"text": "x"}') for i in range(200)]
+    env = spark.createDataFrame(
+        rows,
+        "lsn long, op string, conv_id string, turn_idx int, "
+        "ts timestamp, payload string",
+    )
+    apply_batch(t, env, batch_id=0, run_id="r", cfg=cfg)
+    assert _sort_order(t.current()) == ["conv_id", "turn_idx"]
+    for f in t.current().files:
+        tb = pq.read_table(f["path"], columns=["conv_id", "turn_idx"])
+        got = list(zip(tb["conv_id"].to_pylist(), tb["turn_idx"].to_pylist()))
+        assert got == sorted(got), f"unsorted rows in {f['path']}"
+    # opt-out is honored
+    t2 = LakeTable.create(
+        spark,
+        str(tmp_path / "t2"),
+        ddl,
+        num_buckets=2,
+        props={"write.sort-order": "none"},
+    )
+    assert _sort_order(t2.current()) == []
+    t3 = LakeTable.create(
+        spark,
+        str(tmp_path / "t3"),
+        ddl,
+        num_buckets=2,
+        props={"write.sort-order": "conv_id"},
+    )
+    assert _sort_order(t3.current()) == ["conv_id"]

@@ -66,3 +66,33 @@ def test_admin_ddl_and_maintenance_roundtrip(spark, tmp_path, table, capsys):
     d3 = _run(capsys, p, "describe")
     assert d3["num_buckets"] == 4 and "text" in d3["schema"]
     assert table.read().count() == 20
+
+
+def test_admin_set_property_changes_write_behavior(spark, tmp_path, table, capsys):
+    """set-property commits new write props metadata-only and the NEXT
+    write honors them (Iceberg ALTER TABLE SET TBLPROPERTIES parity)."""
+    import pyarrow.parquet as pq
+
+    p = table.path
+    out = _run(
+        capsys, p, "set-property",
+        "--prop", "write.compression=zstd",
+        "--prop", "write.sort-order=none",
+    )
+    assert out["props"]["write.compression"] == "zstd"
+    v = out["version"]
+    table.append(
+        spark.createDataFrame(
+            [("z1", 99, "y", __import__("datetime").datetime(2024, 1, 1))],
+            "conv_id string, turn_idx int, text string, ts timestamp",
+        )
+    )
+    new = [f for f in table.current().files if f["path"] not in
+           {g["path"] for g in table.snapshot(v).files}]
+    assert new, "append wrote no files"
+    md = pq.ParquetFile(new[0]["path"]).metadata
+    assert md.row_group(0).column(0).compression == "ZSTD"
+    # unset: KEY= removes the property
+    out2 = _run(capsys, p, "set-property", "--prop", "write.compression=")
+    assert "write.compression" not in out2["props"]
+    assert out2["props"]["write.sort-order"] == "none"
