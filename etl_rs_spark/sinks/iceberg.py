@@ -118,6 +118,31 @@ class IcebergTable:
                 f"bucket({new_n}, {bucket_col})"
             )
 
+    def rollback(self, snapshot_id: int) -> None:
+        """LakeTable.rollback twin: Iceberg's rollback_to_snapshot
+        procedure — metadata-only restore, undone snapshots stay
+        time-travelable until expire_snapshots."""
+        self.spark.sql(
+            f"CALL {self.table.split('.')[0]}.system.rollback_to_snapshot"
+            f"('{self.table.split('.', 1)[1]}', {snapshot_id})"
+        )
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        """LakeTable.set_properties twin: ALTER TABLE SET/UNSET
+        TBLPROPERTIES (None value unsets)."""
+        sets = {k: v for k, v in props.items() if v is not None}
+        unsets = [k for k, v in props.items() if v is None]
+        if sets:
+            kv = ", ".join(f"'{k}'='{v}'" for k, v in sets.items())
+            self.spark.sql(
+                f"ALTER TABLE {self.table} SET TBLPROPERTIES ({kv})"
+            )
+        if unsets:
+            kv = ", ".join(f"'{k}'" for k in unsets)
+            self.spark.sql(
+                f"ALTER TABLE {self.table} UNSET TBLPROPERTIES ({kv})"
+            )
+
     def promote(self, winners: DataFrame) -> dict[str, str]:
         """Iceberg-legal in-place type promotion before MERGE (same
         lattice as LakeTable: int->long, float->double, decimal

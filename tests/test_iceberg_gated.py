@@ -169,3 +169,38 @@ def test_partition_spec_evolution(ice_spark):
     t.merge(_src(ice_spark, [("b", 0, "v2", TS, 2, "U")]))
     got = {r.conv_id: r.text for r in t.read().collect()}
     assert got == {"a": "v1", "b": "v2"}
+
+
+def test_rollback_restores_snapshot(ice_spark):
+    """rollback twin: rollback_to_snapshot undoes the second merge
+    metadata-only; the undone snapshot stays in table history."""
+    t = IcebergTable.create(ice_spark, "lake.db.rb", DDL, num_buckets=4)
+    t.merge(_src(ice_spark, [("a", 0, "v1", TS, 1, "U")]))
+    snap1 = ice_spark.sql(
+        "SELECT snapshot_id FROM lake.db.rb.snapshots "
+        "ORDER BY committed_at DESC LIMIT 1"
+    ).first()[0]
+    t.merge(_src(ice_spark, [("a", 0, "v2", TS, 2, "U"), ("b", 0, "x", TS, 3, "U")]))
+    assert t.read().count() == 2
+    t.rollback(snap1)
+    got = {r.conv_id: r.text for r in t.read().collect()}
+    assert got == {"a": "v1"}
+    # history keeps the undone snapshot
+    assert ice_spark.sql("SELECT count(*) FROM lake.db.rb.snapshots").first()[0] >= 2
+
+
+def test_set_properties_roundtrip(ice_spark):
+    """set_properties twin: SET/UNSET TBLPROPERTIES."""
+    t = IcebergTable.create(ice_spark, "lake.db.props", DDL, num_buckets=4)
+    t.set_properties({"write.parquet.compression-codec": "zstd"})
+    props = {
+        r.key: r.value
+        for r in ice_spark.sql("SHOW TBLPROPERTIES lake.db.props").collect()
+    }
+    assert props.get("write.parquet.compression-codec") == "zstd"
+    t.set_properties({"write.parquet.compression-codec": None})
+    props = {
+        r.key: r.value
+        for r in ice_spark.sql("SHOW TBLPROPERTIES lake.db.props").collect()
+    }
+    assert props.get("write.parquet.compression-codec") != "zstd"
