@@ -307,3 +307,47 @@ def test_live_rename_with_stream_column_map(spark, tmp_path, stream, binlog):
 
     oracle = replay(stream.toPandas()).rename(columns={"text": "body"})
     assert_state_equal(table.read().toPandas(), oracle)
+
+
+def test_rollback_then_fresh_checkpoint_replay_converges(
+    spark, tmp_path, stream, binlog
+):
+    """The full bad-deploy recovery runbook: stream the binlog in, roll
+    the table back to an early snapshot, then replay the WHOLE binlog
+    through a FRESH checkpoint (fresh run_id). The restored applied-log
+    plus (ts, lsn) LWW idempotence make the replay converge to exactly
+    the oracle state — already-present rows re-merge as no-ops, undone
+    rows re-apply — with no manual event surgery."""
+    _, files = binlog
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    for f in files:
+        shutil.copy(f, live)
+
+    table = _mk_table(spark, tmp_path)
+    d1 = StreamDriver(
+        spark, table, live, str(tmp_path / "ckpt1"), max_files_per_trigger=2
+    )
+    s1 = d1.run_available_now(timeout_s=300)
+    assert len(s1) == 3
+    # roll back to the state after the FIRST microbatch
+    versions = sorted(
+        int(p.split("version-")[1].split(".")[0])
+        for p in __import__("glob").glob(
+            os.path.join(table.meta_dir, "version-*.json")
+        )
+    )
+    target = versions[1]  # v0 = create, v1 = first merge
+    table.rollback(target)
+    assert table.current().applied == table.snapshot(target).applied
+
+    # fresh checkpoint -> fresh run_id -> all batches re-apply, LWW makes
+    # the already-present two-thirds a no-op and restores the undone rest
+    d2 = StreamDriver(
+        spark, table, live, str(tmp_path / "ckpt2"), max_files_per_trigger=2
+    )
+    s2 = d2.run_available_now(timeout_s=300)
+    assert len(s2) == 3
+
+    oracle = replay(stream.toPandas())
+    assert_state_equal(table.read().toPandas(), oracle)
