@@ -124,7 +124,9 @@ def _bound_micros(v: Any) -> int | None:
     return _stat_micros(v)
 
 
-def _footer_stats(path: str, ts_col: str | None = None) -> dict[str, Any]:
+def _footer_stats(
+    path: str, ts_col: str | None = None, key_col: str | None = None
+) -> dict[str, Any]:
     """Row count, min/max ``_lsn``, and (when ``ts_col`` is given)
     min/max event time from the parquet footer — no data read. The LSN
     range feeds the manifest so incremental readers (``changes()``) can
@@ -132,13 +134,24 @@ def _footer_stats(path: str, ts_col: str | None = None) -> dict[str, Any]:
     ``read(ts_range=...)`` file skipping — the same role Iceberg's
     per-file column stats play in metadata pruning. Columns whose
     footer lacks statistics get None (never pruned); legacy INT96
-    timestamp files carry no stats and are likewise never pruned."""
+    timestamp files carry no stats and are likewise never pruned.
+
+    ``key_col`` (the table's bucket column) adds ``min_key``/``max_key``
+    — Iceberg's per-file lower_bounds/upper_bounds for the partition
+    key — which lets ``lookup()`` skip whole files inside a bucket.
+    Only JSON-representable, totally-ordered stat types (str/int/float)
+    are recorded; anything else stays None (never pruned). Truncated
+    string stats are safe to prune on: parquet writers truncate min
+    downward and max upward (or omit the stat), so the recorded range
+    always covers the true range."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     acc: dict[str, list[Any]] = {LSN_COL: [None, None, False]}
     if ts_col:
         acc[ts_col] = [None, None, False]
+    if key_col and key_col not in acc:
+        acc[key_col] = [None, None, False]
     for g in range(md.num_row_groups):
         rg = md.row_group(g)
         for i in range(rg.num_columns):
@@ -164,11 +177,38 @@ def _footer_stats(path: str, ts_col: str | None = None) -> dict[str, Any]:
         ts_mn, ts_mx, _ = acc[ts_col]
         out["min_ts"] = _stat_micros(ts_mn)
         out["max_ts"] = _stat_micros(ts_mx)
+    if key_col:
+        k_mn, k_mx, _ = acc[key_col]
+        ok = all(
+            isinstance(v, (str, int, float)) and not isinstance(v, bool)
+            for v in (k_mn, k_mx)
+        )
+        out["min_key"] = k_mn if ok else None
+        out["max_key"] = k_mx if ok else None
     return out
 
 
+def _file_may_contain(f: dict[str, Any], vals: Sequence[Any]) -> bool:
+    """True when the manifest's per-file key bounds admit ANY of the
+    sought bucket-key values. Missing bounds (pre-feature manifests,
+    stats-less footers) and cross-type comparisons keep the file —
+    pruning is only ever an optimization, never a correctness input."""
+    mn, mx = f.get("min_key"), f.get("max_key")
+    if mn is None or mx is None:
+        return True
+    for v in vals:
+        try:
+            if mn <= v <= mx:
+                return True
+        except TypeError:
+            return True
+    return False
+
+
 def _footer_stats_many(
-    paths: list[str], ts_col: str | None = None
+    paths: list[str],
+    ts_col: str | None = None,
+    key_col: str | None = None,
 ) -> dict[str, dict[str, Any]]:
     """Footer stats for many files, read concurrently — keeps the
     per-commit driver bookkeeping O(1) wall-clock in the file count
@@ -178,7 +218,12 @@ def _footer_stats_many(
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
-        return dict(zip(paths, ex.map(lambda p: _footer_stats(p, ts_col), paths)))
+        return dict(
+            zip(
+                paths,
+                ex.map(lambda p: _footer_stats(p, ts_col, key_col), paths),
+            )
+        )
 
 
 def _promote_type(
@@ -699,12 +744,25 @@ class LakeTable:
         buckets: Sequence[int] | None = None,
         as_of_ms: int | None = None,
         ts_range: tuple[Any, Any] | None = None,
+        key_values: Sequence[Any] | None = None,
     ) -> DataFrame:
         """Read the table's current (LWW-resolved, tombstone-filtered)
         state, optionally restricted to ``buckets`` (manifest-pruned)
         and/or an event-time window ``ts_range=(lo, hi)`` over the
         first order column (each bound a datetime, ISO string, or None
         for open-ended).
+
+        ``key_values`` restricts the result to rows whose bucket-column
+        value is in the list AND file-skips on the manifest's per-file
+        key bounds (``min_key``/``max_key``, Iceberg's lower/upper
+        bounds): a file whose key range excludes every sought value is
+        never opened. Safe for any file mix — a file without a key can
+        neither produce nor supersede (LWW) a row of that key, and
+        tombstones carry their real key so deletes are never hidden by
+        the prune. The residual ``isin`` filter keeps conservatively
+        retained files (missing bounds) row-exact. ``lookup()`` adds
+        the bucket-hash prune on top; at 10^10 rows the combination
+        reads O(files actually holding the conversation), not O(bucket).
 
         ``ts_range`` is Iceberg-style DATA SKIPPING, not just a filter:
         the manifest stores each file's min/max event time (parquet
@@ -735,6 +793,10 @@ class LakeTable:
             # holds sibling buckets' keys; a residual hash filter keeps
             # bucket-restricted reads row-exact across spec evolution
             mixed = any(_file_spec(f, snap) != snap.num_buckets for f in files)
+        kvals: list[Any] | None = None
+        if key_values is not None:
+            kvals = list(key_values)
+            files = [f for f in files if _file_may_contain(f, kvals)]
         lo = hi = None
         if ts_range is not None:
             lo, hi = ts_range
@@ -746,6 +808,8 @@ class LakeTable:
                     if f.get("max_ts") is None or f["max_ts"] >= lo_us
                 ]
         df = self._resolved_scan(snap, files, include_meta)
+        if kvals is not None:
+            df = df.where(F.col(snap.bucket_col).isin(kvals))
         if mixed:
             df = df.where(
                 bucket_expr(snap.bucket_col, snap.num_buckets).isin(
@@ -852,17 +916,27 @@ class LakeTable:
         Iceberg gets the identical prune from
         ``PARTITIONED BY (bucket(N, conv_id))`` + a conv_id equality
         predicate. Merge-on-read buckets resolve per-key LWW exactly as
-        in ``read()`` (shared scan path)."""
+        in ``read()`` (shared scan path).
+
+        Inside the surviving buckets, per-file key bounds
+        (``min_key``/``max_key``, via ``read(key_values=...)``) skip
+        files whose key range excludes every sought value — so a hot
+        bucket that has accumulated many files between compactions
+        still opens only the files that can actually hold the
+        conversation, and sorted-write row-group stats prune the rest
+        within each file."""
         if isinstance(values, (list, tuple, set, frozenset)):
             vals = list(values)
         else:
             vals = [values]
         snap = self.current() if version is None else self.snapshot(version)
         wanted = self._buckets_for(vals, snap) if vals else []
-        df = self.read(
-            version=snap.version, include_meta=include_meta, buckets=wanted
+        return self.read(
+            version=snap.version,
+            include_meta=include_meta,
+            buckets=wanted,
+            key_values=vals,
         )
-        return df.where(F.col(snap.bucket_col).isin(vals))
 
     # ------------------------------------------------- schema evolution --
     def rename_column(self, old: str, new: str) -> dict[str, Any]:
@@ -1238,10 +1312,11 @@ class LakeTable:
         epoch: int = 0,
         ts_col: str | None = None,
         sort_cols: Sequence[str] | None = None,
+        key_col: str | None = None,
     ) -> list[dict[str, Any]]:
         """Write df (which must carry _BUCKET) under a fresh commit dir
         and return [{path, bucket, rows, min_lsn, max_lsn, min_ts,
-        max_ts, epoch}] for the manifest (``epoch`` records which
+        max_ts, min_key, max_key, epoch}] for the manifest (``epoch`` records which
         rename/drop epoch's physical column names the files carry — see
         Snapshot.epoch; ``ts_col`` is the event-time column whose
         footer min/max feed ``read(ts_range=...)`` file skipping).
@@ -1332,7 +1407,7 @@ class LakeTable:
         writer.parquet(commit_dir)
         t_f = time.monotonic()
         paths = glob.glob(os.path.join(commit_dir, f"{_BUCKET}=*", "*.parquet"))
-        stats = _footer_stats_many(paths, ts_col)
+        stats = _footer_stats_many(paths, ts_col, key_col)
         if os.environ.get("ETL_DEBUG_MERGE"):
             print(
                 f"[write] job: {t_f-t_w:.1f}s footers({len(paths)}): "
@@ -1361,6 +1436,7 @@ class LakeTable:
                 epoch=snap.epoch,
                 ts_col=snap.order_cols[0],
                 sort_cols=_sort_order(snap),
+                key_col=snap.bucket_col,
             ),
         )
         self._commit(new)
@@ -1379,6 +1455,7 @@ class LakeTable:
                 epoch=snap.epoch,
                 ts_col=snap.order_cols[0],
                 sort_cols=_sort_order(snap),
+                key_col=snap.bucket_col,
             ),
         )
         self._commit(new)
@@ -1520,6 +1597,7 @@ class LakeTable:
             epoch=snap.epoch,
             ts_col=snap.order_cols[0],
             sort_cols=_sort_order(snap),
+            key_col=snap.bucket_col,
         )
         target_paths = {f["path"] for f in target}
         new_snap = snap.child(
@@ -1767,6 +1845,7 @@ class LakeTable:
                 epoch=snap.epoch,
                 ts_col=snap.order_cols[0],
                 sort_cols=_sort_order(snap),
+                key_col=snap.bucket_col,
             )
         if cold:
             # -- DELTA leg: append the batch winners as delta files for
@@ -1803,6 +1882,7 @@ class LakeTable:
                 epoch=snap.epoch,
                 ts_col=snap.order_cols[0],
                 sort_cols=_sort_order(snap),
+                key_col=snap.bucket_col,
             )
             for f in dfiles:
                 f["kind"] = "delta"

@@ -813,6 +813,76 @@ def test_lookup_resolves_mor_delta_buckets(spark, tmp_path):
     assert rows == {"a": "v2"}
 
 
+def test_lookup_skips_files_by_key_bounds(spark, tmp_path):
+    """Inside a single bucket, lookup opens only the files whose
+    manifest key bounds (min_key/max_key — Iceberg's per-file
+    lower/upper bounds) can hold the sought key: a hot bucket that
+    accumulated many commits is read O(files holding the key), not
+    O(bucket files)."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=1)
+    for grp in ("a", "b", "c"):
+        df = spark.range(10).select(
+            F.format_string(grp + "%02d", F.col("id")).alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        )
+        t.append(df)
+    snap = t.current()
+    assert len(snap.files) == 3
+    assert all(
+        f.get("min_key") is not None and f.get("max_key") is not None
+        for f in snap.files
+    )
+    got = t.lookup("b05")
+    assert got.count() == 1
+    touched = {os.path.basename(p) for p in got.inputFiles()}
+    holders = {
+        os.path.basename(f["path"])
+        for f in snap.files
+        if f["min_key"] <= "b05" <= f["max_key"]
+    }
+    assert len(holders) == 1 and touched == holders
+    # multi-key lookup unions the per-key file sets, nothing more
+    two = t.lookup(["a01", "c09"])
+    assert two.count() == 2
+    assert len({os.path.basename(p) for p in two.inputFiles()}) == 2
+    # a key outside every file's bounds opens nothing at all
+    assert t.lookup("zz").count() == 0
+    assert t.lookup("zz").inputFiles() == []
+
+
+def test_key_bounds_never_hide_tombstones(spark, tmp_path):
+    """A merge-on-read delete's delta file carries the real key in its
+    bounds, so a bounds-pruned lookup still sees the tombstone and the
+    deleted key stays deleted."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        "conv_id string, turn_idx int, text string, ts timestamp",
+        num_buckets=1,
+        props={"write.merge.mode": "merge-on-read", "write.delta.max-files": 8},
+    )
+
+    def w(rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, lsn long, op string, text string"
+        ).select(
+            "conv_id",
+            "turn_idx",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("lsn")).alias("ts"),
+            "lsn",
+            "op",
+            "text",
+        )
+
+    t.merge(w([("k1", 0, 1, "I", "v1"), ("k2", 0, 2, "I", "v")]), run_id="r", batch_id=0)
+    t.merge(w([("k1", 0, 3, "D", None)]), run_id="r", batch_id=1)
+    delta = [f for f in t.current().files if f.get("kind") == "delta"]
+    assert delta and all(f.get("min_key") == "k1" for f in delta)
+    assert t.lookup("k1").count() == 0
+    assert {r["conv_id"] for r in t.lookup(["k1", "k2"]).collect()} == {"k2"}
+
+
 # --------------------------------------------------- schema evolution --
 EVO_DDL = "conv_id string, turn_idx int, text string, score int, ts timestamp"
 
