@@ -127,6 +127,16 @@ class IcebergTable:
             f"('{self.table.split('.', 1)[1]}', {snapshot_id})"
         )
 
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """LakeTable.create_tag twin: ALTER TABLE ... CREATE TAG pins a
+        snapshot against expire_snapshots until dropped."""
+        as_of = f" AS OF VERSION {snapshot_id}" if snapshot_id is not None else ""
+        self.spark.sql(f"ALTER TABLE {self.table} CREATE TAG `{name}`{as_of}")
+
+    def drop_tag(self, name: str) -> None:
+        """LakeTable.drop_tag twin: ALTER TABLE ... DROP TAG."""
+        self.spark.sql(f"ALTER TABLE {self.table} DROP TAG `{name}`")
+
     def set_properties(self, props: dict[str, str]) -> None:
         """LakeTable.set_properties twin: ALTER TABLE SET/UNSET
         TBLPROPERTIES (None value unsets)."""

@@ -390,6 +390,11 @@ class Snapshot:
     #: per-epoch physical names to current logical names by id.
     epoch: int = 0
     epoch_names: dict = field(default_factory=dict)
+    #: named refs (Iceberg table refs, tag flavor): tag name -> pinned
+    #: version. A tagged version and the files it references are
+    #: protected from expire_snapshots until the tag is dropped —
+    #: the audit pin for "the exact table state a training run read".
+    refs: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         # legacy manifests (pre field-id) synthesize stable ids from
@@ -437,6 +442,7 @@ class Snapshot:
             next_field_id=self.next_field_id,
             epoch=self.epoch,
             epoch_names={e: dict(m) for e, m in self.epoch_names.items()},
+            refs=dict(self.refs),
         )
         base.update(overrides)
         return Snapshot(**base)
@@ -1114,6 +1120,46 @@ class LakeTable:
         self._commit(new_snap)
         return {"version": new_snap.version, "props": merged}
 
+    def create_tag(
+        self, name: str, version: int | None = None
+    ) -> dict[str, Any]:
+        """Pin a snapshot under a name (Iceberg ALTER TABLE ... CREATE
+        TAG): a metadata-only commit that records ``name -> version``
+        in the table refs. A tagged version — and every data file it
+        references — survives ``expire_snapshots`` until the tag is
+        dropped, so "the exact table state training run X read" stays
+        reproducible (``read(version=tags()[name])``) while routine
+        retention keeps trimming untagged history. Tag commits go
+        through the same claim-slot arbitration as data commits, so
+        racing taggers/writers serialize cleanly."""
+        snap = self.current()
+        if name in snap.refs:
+            raise LoadError(f"tag {name!r} already exists")
+        v = snap.version if version is None else int(version)
+        try:
+            self.snapshot(v)  # must name a live, readable version
+        except FileNotFoundError:
+            raise LoadError(f"tag target version {v} does not exist")
+        new_snap = snap.child(refs={**snap.refs, name: v})
+        self._commit(new_snap)
+        return {"version": new_snap.version, "tag": name, "at": v}
+
+    def drop_tag(self, name: str) -> dict[str, Any]:
+        """Remove a tag (Iceberg DROP TAG) — the pinned version rejoins
+        the normal retention pool at the next ``expire_snapshots``."""
+        snap = self.current()
+        if name not in snap.refs:
+            raise LoadError(f"no such tag {name!r}")
+        refs = dict(snap.refs)
+        at = refs.pop(name)
+        new_snap = snap.child(refs=refs)
+        self._commit(new_snap)
+        return {"version": new_snap.version, "dropped": name, "was_at": at}
+
+    def tags(self) -> dict[str, int]:
+        """Current tag name -> pinned version."""
+        return dict(self.current().refs)
+
     def rollback(self, version: int) -> dict[str, Any]:
         """Roll the table back to an earlier snapshot — the CDC
         operator's undo for a bad deploy / poisoned batch. Iceberg
@@ -1479,13 +1525,19 @@ class LakeTable:
     def expire_snapshots(self, keep_last: int = 5) -> dict[str, Any]:
         """Drop old snapshot manifests and delete data files referenced
         ONLY by them (Iceberg expire_snapshots). Time travel remains
-        available for the kept window."""
+        available for the kept window; versions pinned by a tag
+        (``create_tag``) are kept — with their files — regardless of
+        age, exactly like Iceberg refs gate snapshot expiry."""
         cur = self.current()
         versions = sorted(
             int(p.split("version-")[1].split(".")[0])
             for p in glob.glob(os.path.join(self.meta_dir, "version-*.json"))
         )
-        keep = set(versions[-keep_last:]) | {cur.version}
+        keep = (
+            set(versions[-keep_last:])
+            | {cur.version}
+            | {int(v) for v in cur.refs.values()}
+        )
         live: set[str] = set()
         for v in keep:
             live.update(f["path"] for f in self.snapshot(v).files)

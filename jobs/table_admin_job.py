@@ -19,6 +19,9 @@ Commands:
     expire-snapshots [--keep-last K]
     vacuum         [--older-than-s S]
     lookup         --keys k1,k2,...       bucket-pruned point lookup
+    create-tag     --name t [--at-version V]  pin a snapshot (Iceberg
+                                          tag): survives expire-snapshots
+    drop-tag       --name t               unpin; next expiry reclaims it
 
 The reference stores rename/partition-evolution knobs and never applies
 them (/root/reference/src/load/delta.rs:62-69); here each is a real,
@@ -82,6 +85,14 @@ def parse_args(argv):
     lk = sub.add_parser("lookup")
     lk.add_argument("--keys", required=True)
     lk.add_argument("--limit", type=int, default=100)
+
+    tg = sub.add_parser("create-tag")
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--at-version", type=int, default=None,
+                    help="version to pin (default: current)")
+
+    dt = sub.add_parser("drop-tag")
+    dt.add_argument("--name", required=True)
 
     return p.parse_args(argv)
 
@@ -149,6 +160,10 @@ def main(argv=None) -> int:
     elif args.cmd == "lookup":
         rows = t.lookup(args.keys.split(",")).limit(args.limit).collect()
         out = {"rows": [r.asDict() for r in rows]}
+    elif args.cmd == "create-tag":
+        out = t.create_tag(args.name, version=args.at_version)
+    elif args.cmd == "drop-tag":
+        out = t.drop_tag(args.name)
     else:  # pragma: no cover - argparse enforces choices
         raise SystemExit(2)
 

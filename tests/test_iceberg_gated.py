@@ -204,3 +204,23 @@ def test_set_properties_roundtrip(ice_spark):
         for r in ice_spark.sql("SHOW TBLPROPERTIES lake.db.props").collect()
     }
     assert props.get("write.parquet.compression-codec") != "zstd"
+
+
+def test_tags_pin_and_drop(ice_spark):
+    """create_tag/drop_tag twin: a tag pins its snapshot for reads
+    (VERSION AS OF by ref) and gates expire_snapshots until dropped."""
+    t = IcebergTable.create(ice_spark, "lake.db.tags", DDL, num_buckets=4)
+    t.merge(_src(ice_spark, [("a", 0, "v1", TS, 1, "U")]))
+    t.create_tag("train-cut")
+    t.merge(_src(ice_spark, [("a", 0, "v2", TS, 2, "U")]))
+    pinned = {
+        r.conv_id: r.text
+        for r in ice_spark.sql(
+            "SELECT * FROM lake.db.tags VERSION AS OF 'train-cut'"
+        ).collect()
+    }
+    assert pinned == {"a": "v1"}
+    assert {r.conv_id: r.text for r in t.read().collect()} == {"a": "v2"}
+    t.drop_tag("train-cut")
+    refs = ice_spark.sql("SELECT name FROM lake.db.tags.refs").collect()
+    assert "train-cut" not in {r.name for r in refs}

@@ -813,6 +813,41 @@ def test_lookup_resolves_mor_delta_buckets(spark, tmp_path):
     assert rows == {"a": "v2"}
 
 
+def test_tags_pin_versions_against_expiry(spark, tmp_path):
+    """create_tag pins a snapshot (and its files) through
+    expire_snapshots — Iceberg refs semantics: retention trims untagged
+    history, the tagged training-cut version stays reproducible until
+    the tag is dropped."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    t.append(_df(spark, 10))  # v1: files only v1 references after...
+    v1_files = [f["path"] for f in t.current().files]
+    t.overwrite(_df(spark, 6))  # ...v2 replaces them
+    t.create_tag("train-cut", 1)  # v3, metadata-only
+    for _ in range(4):
+        t.append(_df(spark, 3))  # v4..v7
+    assert t.tags() == {"train-cut": 1}
+    t.expire_snapshots(keep_last=2)
+    # the tagged version survives outside the keep-last window,
+    # with its data files intact and readable
+    assert t.read(version=1).count() == 10
+    assert all(os.path.exists(p) for p in v1_files)
+    with pytest.raises(LoadError):
+        t.create_tag("train-cut")  # duplicate
+    with pytest.raises(LoadError):
+        t.create_tag("dangling", 99)  # must name a live version
+    t.drop_tag("train-cut")
+    with pytest.raises(LoadError):
+        t.drop_tag("train-cut")  # already gone
+    t.expire_snapshots(keep_last=2)
+    # unpinned, the old version and its exclusive files are reclaimed
+    assert not os.path.exists(
+        os.path.join(t.meta_dir, "version-00000001.json")
+    )
+    assert not any(os.path.exists(p) for p in v1_files)
+    # current state never disturbed
+    assert t.read().count() == 6 + 4 * 3
+
+
 def test_lookup_skips_files_by_key_bounds(spark, tmp_path):
     """Inside a single bucket, lookup opens only the files whose
     manifest key bounds (min_key/max_key — Iceberg's per-file

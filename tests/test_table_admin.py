@@ -96,3 +96,13 @@ def test_admin_set_property_changes_write_behavior(spark, tmp_path, table, capsy
     out2 = _run(capsys, p, "set-property", "--prop", "write.compression=")
     assert "write.compression" not in out2["props"]
     assert out2["props"]["write.sort-order"] == "none"
+
+
+def test_admin_tag_lifecycle(spark, tmp_path, table, capsys):
+    p = table.path
+    out = _run(capsys, p, "create-tag", "--name", "cut", "--at-version", "1")
+    assert out["tag"] == "cut" and out["at"] == 1
+    assert table.tags() == {"cut": 1}
+    out = _run(capsys, p, "drop-tag", "--name", "cut")
+    assert out["dropped"] == "cut" and out["was_at"] == 1
+    assert table.tags() == {}
