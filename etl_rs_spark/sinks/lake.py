@@ -1105,7 +1105,8 @@ class LakeTable:
         given keys overwrite, a None value unsets the key, everything
         else carries forward. Properties steer WRITE behavior only
         (write.compression, write.target-file-rows, write.merge.mode,
-        write.delta.max-files, write.sort-order), so changing them
+        write.delta.max-files, write.sort-order,
+        write.distribution-mode), so changing them
         mid-stream is always safe: existing files keep whatever shape
         they were written with and are resolved/compacted under the
         usual rules."""
@@ -1385,7 +1386,11 @@ class LakeTable:
         reference's DeltaLoader stores the analogous max_rows_per_file
         and never applies it, /root/reference/src/load/delta.rs:62-69).
         ``write.compression`` picks the parquet codec (snappy default,
-        zstd/gzip/...).
+        zstd/gzip/...). ``write.distribution-mode`` = ``hash`` (default:
+        hash partition + LSN-salt splitting, splits hot single keys) or
+        ``range`` (Iceberg range distribution: repartitionByRange on
+        (bucket, sort keys) — files get tight disjoint key bounds, so
+        min_key/max_key file pruning works inside multi-file buckets).
 
         ``sort_cols`` (normally the snapshot's key columns via
         ``_sort_order``, Iceberg WRITE ORDERED BY parity): rows are
@@ -1400,6 +1405,7 @@ class LakeTable:
         props = props or {}
         target_rows = props.get("write.target-file-rows")
         compression = props.get("write.compression")
+        dist_mode = str(props.get("write.distribution-mode", "hash"))
         # unique per write ATTEMPT, not per version: two writers racing
         # the same slot must never share a staging dir — a shared dir
         # lets one clobber the other's _temporary output and, worse,
@@ -1408,7 +1414,32 @@ class LakeTable:
             self.data_dir, f"commit-{version:08d}-{uuid.uuid4().hex[:8]}"
         )
         wp = max(write_partitions or max(n_buckets_touched, 1), 1)
-        if bucket_volume:
+        if dist_mode == "range":
+            # Iceberg write.distribution-mode=range: range-partition on
+            # (bucket, sort keys) instead of hash+LSN-salt. Each file
+            # then covers a NARROW, largely disjoint key interval, so
+            # the manifest's min_key/max_key prune files for lookups
+            # even inside a multi-file bucket (hash-salted splits each
+            # span the whole key range — bounds can't discriminate).
+            # Spark samples the data to pick boundaries, so partition
+            # row counts self-balance without the manual salt math.
+            # Tradeoff vs hash mode: rows EQUAL on all range keys stay
+            # in one partition, so a single conversation hotter than
+            # target-file-rows cannot be split across writers — keep
+            # hash mode for extreme single-key skew, range mode for
+            # read-heavy tables.
+            if bucket_volume:
+                wp = max(wp, self._cores())
+                total = sum(bucket_volume.values()) or 1
+                target = max(total // wp, 1)
+                if target_rows:
+                    target = min(target, int(target_rows))
+                wp = max(wp, min((total + target - 1) // target, 4096))
+            range_cols = [F.col(_BUCKET)] + [
+                F.col(c) for c in (sort_cols or []) if c in df.columns
+            ]
+            shuffled = df.repartitionByRange(wp, *range_cols)
+        elif bucket_volume:
             wp = max(wp, self._cores())
             total = sum(bucket_volume.values()) or 1
             target = max(total // wp, 1)

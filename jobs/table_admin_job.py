@@ -127,6 +127,7 @@ def main(argv=None) -> int:
             "rows": sum(f.get("rows", 0) for f in snap.files),
             "watermark_lsn": snap.watermark_lsn,
             "props": snap.props,
+            "tags": snap.refs,
         }
     elif args.cmd == "rename-column":
         out = t.rename_column(args.old, args.new)

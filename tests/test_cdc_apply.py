@@ -241,3 +241,37 @@ def test_column_map_guards_merge_columns(spark, tmp_path, stream):
         cfg=CdcConfig(column_map={"nonexistent": "whatever"}),
     )
     assert not stats.get("skipped")
+
+
+def test_apply_matches_oracle_under_range_distribution(spark, tmp_path, stream):
+    """write.distribution-mode=range changes only the physical file
+    layout (range-partitioned, disjoint key bounds); the applied state
+    is byte-identical to the oracle replay."""
+    from pyspark.sql import functions as F
+
+    table = LakeTable.create(
+        spark,
+        str(tmp_path / "rng"),
+        TABLE_DDL,
+        num_buckets=4,
+        props={
+            "write.distribution-mode": "range",
+            "write.target-file-rows": 200,
+        },
+    )
+    env = to_envelope(stream)
+    for i, (lo, hi) in enumerate([(0, 2500), (2500, 5000)]):
+        apply_batch(
+            table,
+            env.where((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+            batch_id=i,
+            run_id="run-range",
+        )
+    assert_state_equal(table.read().toPandas(), replay(stream.toPandas()))
+    # the layout actually differs: multi-file buckets with key stats
+    snap = table.current()
+    per_bucket: dict = {}
+    for f in snap.files:
+        per_bucket.setdefault(f["bucket"], []).append(f)
+    assert any(len(fs) > 1 for fs in per_bucket.values())
+    assert all(f.get("min_key") is not None for f in snap.files)

@@ -886,6 +886,41 @@ def test_lookup_skips_files_by_key_bounds(spark, tmp_path):
     assert t.lookup("zz").inputFiles() == []
 
 
+def test_range_distribution_gives_disjoint_key_bounds(spark, tmp_path):
+    """write.distribution-mode=range (Iceberg range distribution)
+    range-partitions a bucket's output by key, so its files carry
+    tight DISJOINT key bounds and lookup opens a small subset — the
+    discrimination hash+LSN-salted splits (every file spans the whole
+    key range) cannot provide."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        DDL,
+        num_buckets=1,
+        props={
+            "write.distribution-mode": "range",
+            "write.target-file-rows": 50,
+        },
+    )
+    src = spark.range(400).select(
+        F.format_string("c%02d", F.col("id") % 80).alias("conv_id"),
+        (F.col("id") / 80).cast("int").alias("turn_idx"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+    )
+    t.merge(src, run_id="r", batch_id=0)
+    snap = t.current()
+    assert len(snap.files) >= 4  # target-file-rows honored in range mode
+    ordered = sorted(snap.files, key=lambda f: f["min_key"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["max_key"] <= b["min_key"]  # disjoint key intervals
+    got = t.lookup("c07")
+    assert got.count() == 5
+    assert len(got.inputFiles()) < len(snap.files)
+    assert t.read().count() == 400
+
+
 def test_key_bounds_never_hide_tombstones(spark, tmp_path):
     """A merge-on-read delete's delta file carries the real key in its
     bounds, so a bounds-pruned lookup still sees the tombstone and the
