@@ -856,6 +856,31 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the full changelog, filtered to the same keys, deletes
     excluded. The reference's DeltaExtractor can only full-scan +
     filter (/root/reference/src/extract/delta.rs:117-140)."""
+    return _point_lookup_impl(spark, sf_dir, props=None)
+
+
+def q_point_lookup_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """point_lookup with write.distribution-mode=range +
+    write.target-file-rows: the merge range-partitions each bucket's
+    output by key (repartitionByRange), so the bucket's files carry
+    tight disjoint min_key/max_key bounds and ``lookup`` file-skips
+    INSIDE the bucket on top of the bucket-hash prune
+    (tests/test_lake_table.py::test_range_distribution_gives_disjoint
+    _key_bounds plan-asserts the skip). Same oracle as point_lookup —
+    physical layout must never change query results."""
+    return _point_lookup_impl(
+        spark,
+        sf_dir,
+        props={
+            "write.distribution-mode": "range",
+            "write.target-file-rows": 2000,
+        },
+    )
+
+
+def _point_lookup_impl(
+    spark: SparkSession, sf_dir: str, props: dict | None
+) -> DataFrame:
     import tempfile
 
     from etl_rs_spark.cdc.apply import apply_batch
@@ -879,6 +904,7 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{work}/t",
         "conv_id string, turn_idx int, value string, ts timestamp",
         num_buckets=8,
+        props=props,
     )
     apply_batch(t, env, batch_id=0, run_id="pl", cfg=CdcConfig(num_buckets=8))
     ids = [str(i) for i in range(1, 11)]
@@ -1289,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_promotion": q_cdc_schema_promotion,
         "cdc_apply_mor": q_cdc_apply_mor,
         "point_lookup": q_point_lookup,
+        "point_lookup_range": q_point_lookup_range,
         "cdc_rename_drop": q_cdc_rename_drop,
         "cdc_bucket_evolution": q_cdc_bucket_evolution,
         "time_range_scan": q_time_range_scan,
@@ -1862,6 +1889,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 AND lsn > wm
         """,
         "point_lookup": """
+            WITH ops AS (
+                SELECT user_id,
+                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                       value, ts, event_id AS lsn
+                FROM events
+            ), winners AS (
+                SELECT * FROM ops
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, lsn DESC) = 1
+            )
+            SELECT user_id, round(value, 2) AS value, ts
+            FROM winners
+            WHERE op <> 'D' AND user_id IN (1,2,3,4,5,6,7,8,9,10)
+        """,
+        "point_lookup_range": """
             WITH ops AS (
                 SELECT user_id,
                        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
