@@ -1263,6 +1263,65 @@ def q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.unionByName(_state("replayed"))
 
 
+def q_cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish under the oracle (Iceberg branch refs +
+    fast_forward; sinks/lake.py create_branch/on_branch/fast_forward).
+    Batch 0 lands on main; a suspect batch 1 is applied to an "audit"
+    BRANCH while main stays frozen for consumers; the audited branch is
+    then fast-forwarded onto main. The query returns both phases
+    tagged: ``main_frozen`` (main read mid-audit) must equal the
+    batch-0-only LWW replay — proving branch isolation — and
+    ``published`` (main after fast_forward) must equal the full replay
+    — proving the publish is the complete branch state, CDC
+    bookkeeping included. One hash checks isolation AND publish."""
+    import tempfile
+
+    from etl_rs_spark.sinks.lake import LakeTable
+
+    e = _t(spark, sf_dir, "events")
+    split = int(e.agg(F.max("event_id")).first()[0]) // 2
+
+    def _batch(pred):
+        return lww_dedup(
+            e.where(pred).select(
+                F.col("user_id").cast("string").alias("conv_id"),
+                F.lit(0).alias("turn_idx"),
+                F.col("ts").cast("timestamp").alias("ts"),
+                F.col("event_id").alias("lsn"),
+                F.when(F.col("event_type") == "error", F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+                F.round("value", 2).alias("value"),
+            ),
+            keys=["conv_id", "turn_idx"],
+            order_cols=["ts", "lsn"],
+        )
+
+    work = tempfile.mkdtemp(prefix="wap-entry-")
+    t = LakeTable.create(
+        spark,
+        f"{work}/t",
+        "conv_id string, turn_idx int, value double, ts timestamp",
+        num_buckets=8,
+    )
+    t.merge(_batch(F.col("event_id") <= split), run_id="wap", batch_id=0)
+    t.create_branch("audit")
+    b = t.on_branch("audit")
+    b.merge(_batch(F.col("event_id") > split), run_id="wap", batch_id=1)
+
+    def _state(tag: str) -> DataFrame:
+        return t.read().select(
+            F.lit(tag).alias("phase"),
+            F.col("conv_id").cast("long").alias("user_id"),
+            "value",
+            "ts",
+        )
+
+    frozen = _state("main_frozen").localCheckpoint(eager=True)
+    t.fast_forward("audit")
+    return frozen.unionByName(_state("published"))
+
+
 # -------------------------------------------------------------- contract --
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -1320,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_bucket_evolution": q_cdc_bucket_evolution,
         "time_range_scan": q_time_range_scan,
         "cdc_rollback": q_cdc_rollback,
+        "cdc_wap_publish": q_cdc_wap_publish,
     }
 
 
@@ -1956,6 +2016,31 @@ def oracle_sql() -> dict[str, str]:
             FROM w1 WHERE rn = 1 AND event_type <> 'error'
             UNION ALL
             SELECT 'replayed' AS phase, user_id, value, ts
+            FROM wa WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_wap_publish": """
+            WITH split AS (SELECT max(event_id) // 2 AS wm FROM events),
+            w1 AS (
+                SELECT user_id, ts, event_type,
+                       round(value, 2) AS value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events
+                WHERE event_id <= (SELECT wm FROM split)
+            ),
+            wa AS (
+                SELECT user_id, ts, event_type,
+                       round(value, 2) AS value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events
+            )
+            SELECT 'main_frozen' AS phase, user_id, value, ts
+            FROM w1 WHERE rn = 1 AND event_type <> 'error'
+            UNION ALL
+            SELECT 'published' AS phase, user_id, value, ts
             FROM wa WHERE rn = 1 AND event_type <> 'error'
         """,
         "cdc_bucket_evolution": """

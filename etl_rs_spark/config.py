@@ -118,6 +118,11 @@ class CdcConfig:
     #: coverage (StreamDriver.lsn_coverage) so a lost binlog segment
     #: surfaces as a hole instead of silent data loss.
     track_lsn_gaps: bool = True
+    #: apply the stream onto this BRANCH of the table instead of main
+    #: (LakeTable.on_branch) — the write-audit-publish ingest pattern:
+    #: a suspect binlog window lands on a branch, gets audited, then
+    #: fast-forwarded to main (or dropped) by the admin job. None = main.
+    branch: str | None = None
 
 
 @dataclass(frozen=True)

@@ -137,6 +137,25 @@ class IcebergTable:
         """LakeTable.drop_tag twin: ALTER TABLE ... DROP TAG."""
         self.spark.sql(f"ALTER TABLE {self.table} DROP TAG `{name}`")
 
+    def create_branch(self, name: str) -> None:
+        """LakeTable.create_branch twin: ALTER TABLE ... CREATE BRANCH.
+        Writes target it via the `branch_<name>` table suffix or the
+        spark.wap.branch session conf (Iceberg WAP)."""
+        self.spark.sql(f"ALTER TABLE {self.table} CREATE BRANCH `{name}`")
+
+    def drop_branch(self, name: str) -> None:
+        """LakeTable.drop_branch twin: ALTER TABLE ... DROP BRANCH."""
+        self.spark.sql(f"ALTER TABLE {self.table} DROP BRANCH `{name}`")
+
+    def fast_forward(self, branch: str, to: str = "main") -> None:
+        """LakeTable.fast_forward twin: the fast_forward procedure —
+        publish a branch's audited state onto main in one metadata swap
+        (rejects non-fast-forward moves exactly like LakeTable)."""
+        cat, tbl = self.table.split(".", 1)
+        self.spark.sql(
+            f"CALL {cat}.system.fast_forward('{tbl}', '{to}', '{branch}')"
+        )
+
     def set_properties(self, props: dict[str, str]) -> None:
         """LakeTable.set_properties twin: ALTER TABLE SET/UNSET
         TBLPROPERTIES (None value unsets)."""

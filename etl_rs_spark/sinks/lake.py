@@ -61,6 +61,7 @@ import os
 import time
 import uuid
 from collections.abc import Sequence
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -308,6 +309,18 @@ def bucket_expr(col: str, num_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col(col)), F.lit(num_buckets)).cast("int")
 
 
+def _tips(hs: "Snapshot") -> dict[str, int]:
+    """Branch ref table from the HEAD snapshot. Legacy manifests (no
+    branches dict) read as one main branch at HEAD. The HEAD snapshot
+    is by construction its own branch's tip (_commit always writes
+    ``branches[branch] = slot``), so that entry is normalized here —
+    which also makes reads robust to a manually-forged manifest whose
+    carried dict is stale."""
+    tips = dict(hs.branches) if hs.branches else {"main": hs.version}
+    tips[hs.branch] = hs.version
+    return tips
+
+
 def _lww_resolve(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -395,6 +408,34 @@ class Snapshot:
     #: protected from expire_snapshots until the tag is dropped —
     #: the audit pin for "the exact table state a training run read".
     refs: dict = field(default_factory=dict)
+    #: Iceberg table refs, BRANCH flavor: branch name -> tip version,
+    #: including "main". Maintained by _commit (the committing branch's
+    #: tip becomes the new version; other tips are carried verbatim),
+    #: so the HEAD snapshot's ``branches`` is the authoritative ref
+    #: table. Empty = legacy manifest ({"main": HEAD} implied).
+    branches: dict = field(default_factory=dict)
+    #: which branch this snapshot was committed to ("main" default —
+    #: also the correct reading for legacy manifests).
+    branch: str = "main"
+    #: version this snapshot was derived from (its ancestor pointer).
+    #: -1 = legacy/create; _commit's optimistic-concurrency check is
+    #: ``parent_version == tips[branch]`` — a writer whose branch tip
+    #: moved underneath it conflicts, while commits landing on OTHER
+    #: branches merely shift the global slot number and are rebased
+    #: over transparently.
+    parent_version: int = -1
+    #: version of the parent-branch snapshot this branch forked from
+    #: (-1 on main). Set when the first commit lands on a fresh branch;
+    #: carried along the branch chain. fast_forward uses it for an O(1)
+    #: is-ancestor check that needs no manifest walking (robust to
+    #: expire_snapshots trimming intermediate versions).
+    fork_version: int = -1
+    #: [branch, tip_version] stamped ONLY on fast_forward commits (and
+    #: deliberately NOT carried by child()): records that this target-
+    #: branch tip IS the named branch's state at that version, which is
+    #: what lets a second fast_forward from the same long-lived branch
+    #: pass the ancestor check after the first one moved the target.
+    ff_source: list = field(default_factory=list)
 
     def __post_init__(self) -> None:
         # legacy manifests (pre field-id) synthesize stable ids from
@@ -418,7 +459,13 @@ class Snapshot:
 
     @classmethod
     def from_json(cls, s: str) -> "Snapshot":
-        return cls(**json.loads(s))
+        # ignore unknown keys: a manifest written by a NEWER engine
+        # (new metadata fields) stays readable by this one — Iceberg
+        # readers skip unrecognized metadata fields the same way, and
+        # it is what lets a mixed-version executor fleet roll forward
+        d = json.loads(s)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
 
     def child(self, **overrides: Any) -> "Snapshot":
         """Successor snapshot: version+1 with deep-copied mutable
@@ -443,6 +490,11 @@ class Snapshot:
             epoch=self.epoch,
             epoch_names={e: dict(m) for e, m in self.epoch_names.items()},
             refs=dict(self.refs),
+            branches={},  # output field: _commit derives it from HEAD
+            branch=self.branch,
+            parent_version=self.version,
+            fork_version=self.fork_version,
+            ff_source=[],  # per-commit stamp, never inherited
         )
         base.update(overrides)
         return Snapshot(**base)
@@ -456,6 +508,20 @@ class LakeTable:
         self.path = path
         self.meta_dir = os.path.join(path, "meta")
         self.data_dir = os.path.join(path, "data")
+        #: branch every read/write on THIS handle targets. All write
+        #: paths go through current()/child()/_commit, so an on_branch
+        #: handle gets merge/append/compact/DDL on its branch for free.
+        self._branch = "main"
+
+    def on_branch(self, name: str) -> "LakeTable":
+        """Handle scoped to a branch (Iceberg branch ref): reads resolve
+        the branch tip, writes commit to it — the write-audit-publish
+        primitive. The branch must already exist (``create_branch``)."""
+        if name != "main" and name not in self.branches():
+            raise LoadError(f"no such branch {name!r}")
+        t = LakeTable(self.spark, self.path)
+        t._branch = name
+        return t
 
     # ------------------------------------------------------------- DDL --
     @classmethod
@@ -508,7 +574,9 @@ class LakeTable:
         return os.path.exists(os.path.join(self.meta_dir, "HEAD"))
 
     # -------------------------------------------------------- snapshots --
-    def current(self) -> Snapshot:
+    def _head_snapshot(self) -> Snapshot:
+        """Snapshot at the latest committed metadata version (any
+        branch) — the one whose ``branches`` dict is authoritative."""
         head = os.path.join(self.meta_dir, "HEAD")
         if not os.path.exists(head):
             raise LoadError(f"no table at {self.path}")
@@ -516,16 +584,43 @@ class LakeTable:
             v = int(f.read().strip())
         return self.snapshot(v)
 
+    def current(self, branch: str | None = None) -> Snapshot:
+        """Tip snapshot of ``branch`` (default: this handle's branch).
+        Legacy manifests (no branches dict) read as a single "main"
+        branch at HEAD. A branch whose ref still points at its fork
+        point (no commits yet) is returned stamped with the branch name
+        and fork version, so the first child() commit lands on the
+        branch with correct ancestry."""
+        b = branch or self._branch
+        hs = self._head_snapshot()
+        tips = _tips(hs)
+        if b not in tips:
+            raise LoadError(f"no such branch {b!r}")
+        snap = hs if tips[b] == hs.version else self.snapshot(tips[b])
+        if snap.branch != b:
+            # fresh branch: its ref points at the fork-point snapshot
+            snap.branch = b
+            snap.fork_version = snap.version
+        return snap
+
+    def branches(self) -> dict[str, int]:
+        """Branch name -> tip version, including main."""
+        return _tips(self._head_snapshot())
+
     def snapshot(self, version: int) -> Snapshot:
         with open(os.path.join(self.meta_dir, f"version-{version:08d}.json")) as f:
             return Snapshot.from_json(f.read())
 
     def version_as_of(self, ts_ms: int) -> int:
-        """Latest committed version with committed_at_ms <= ts_ms.
-        Commit times are monotone (single-writer commit protocol), so a
-        binary search over the version files needs O(log versions) metadata
-        reads — no full history scan."""
-        lo, hi = 0, self.current().version
+        """Latest committed version ON THIS HANDLE'S BRANCH with
+        committed_at_ms <= ts_ms. Commit times are monotone in the
+        global version sequence (single-slot commit protocol), so a
+        binary search over the version files needs O(log versions)
+        metadata reads; with branching, a short downward walk then
+        skips any interleaved other-branch commits (O(interleave), each
+        one metadata read — no data touched)."""
+        tip = self.current()
+        lo, hi = 0, tip.version
         if self.snapshot(lo).committed_at_ms > ts_ms:
             raise LoadError(
                 f"no snapshot at or before ts {ts_ms} (table created later)"
@@ -536,23 +631,58 @@ class LakeTable:
                 lo = mid
             else:
                 hi = mid - 1
-        return lo
+        b, fork = tip.branch, tip.fork_version
+        v = lo
+        while v >= 0:
+            try:
+                s = self.snapshot(v)
+            except FileNotFoundError:
+                v -= 1
+                continue
+            if s.branch == b or (
+                fork >= 0 and v <= fork and s.branch == "main"
+            ):  # pre-fork main history belongs to the branch's lineage
+                return v
+            v -= 1
+        raise LoadError(
+            f"no snapshot on branch {b!r} at or before ts {ts_ms}"
+        )
 
     #: a version file claimed (created) but never published (HEAD swung)
     #: is treated as crashed-writer residue only once this old; younger
     #: claims are presumed to belong to a live competitor mid-commit.
     STALE_CLAIM_S: float = 60.0
 
-    def _commit(self, snap: Snapshot) -> None:
+    #: branch_edits sentinel: "point the ref at this commit's own slot"
+    _SLOT: int = -2
+
+    def _commit(
+        self, snap: Snapshot, branch_edits: dict[str, int | None] | None = None
+    ) -> None:
         """Commit with an ATOMIC slot claim (optimistic concurrency):
-        the snapshot targets version N+1 derived from the HEAD this
-        writer read. The version file itself is the put-if-absent
-        arbiter — it is hard-linked into place (``os.link``, fails with
-        EEXIST if the slot is taken), so of two writers racing the same
-        slot exactly one creates it and the loser raises BEFORE touching
+        the snapshot takes the next GLOBAL version slot (HEAD+1 — all
+        branches share one metadata sequence, exactly as every Iceberg
+        commit writes the next metadata.json regardless of branch). The
+        version file itself is the put-if-absent arbiter — it is
+        hard-linked into place (``os.link``, fails with EEXIST if the
+        slot is taken), so of two writers racing the same slot exactly
+        one creates it and the loser retries or raises BEFORE touching
         HEAD (its data files stay orphaned; vacuum_orphans reclaims
-        them). The prior check-then-act HEAD comparison survives only as
-        a fast-path error message.
+        them).
+
+        The CORRECTNESS check is per-branch: ``snap.parent_version``
+        must still equal the committing branch's tip. A tip that moved
+        is a real conflict (the writer's data files were derived from
+        stale state) and raises to the caller, whose retry re-reads and
+        rebuilds — same contract as before branches existed. A commit
+        that merely landed on a DIFFERENT branch only shifts the global
+        slot number; this writer rebases onto the next slot
+        transparently (bounded retry loop), because nothing it wrote
+        depends on other branches' state.
+
+        ``branch_edits`` adds/removes branch refs atomically with the
+        commit (value None deletes) — used by create_branch/drop_branch.
+        The committing branch's own tip always becomes this snapshot.
 
         Crashed-writer recovery: a version file without a HEAD swing is
         residue, but it is indistinguishable in content from a live
@@ -562,35 +692,69 @@ class LakeTable:
         concurrent recoverers still resolve to exactly one winner. The
         StreamDriver's (run_id, batch_id) idempotence log makes
         retry-after-conflict safe on the CDC path."""
-        if snap.committed_at_ms < 0:
-            snap.committed_at_ms = int(time.time() * 1000)
         head = os.path.join(self.meta_dir, "HEAD")
-        if os.path.exists(head):
-            with open(head) as f:
-                published = int(f.read().strip())
-            if published >= snap.version:
-                raise LoadError(
-                    f"concurrent commit conflict: HEAD is at version "
-                    f"{published}, this writer derived version "
-                    f"{snap.version} from a stale snapshot; re-read and retry"
-                )
-        vpath = os.path.join(self.meta_dir, f"version-{snap.version:08d}.json")
-        vtmp = os.path.join(self.meta_dir, f".version.{uuid.uuid4().hex}")
-        with open(vtmp, "w") as f:
-            f.write(snap.to_json())
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            self._claim_slot(vtmp, vpath, snap.version)
-        finally:
-            if os.path.exists(vtmp):
-                os.remove(vtmp)
-        tmp = os.path.join(self.meta_dir, f".HEAD.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(snap.version))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.meta_dir, "HEAD"))  # atomic swing
+        last_err: LoadError | None = None
+        for attempt in range(8):
+            hv, tips = -1, {}
+            if os.path.exists(head):
+                hs = self._head_snapshot()
+                hv = hs.version
+                tips = _tips(hs)
+                if snap.branch not in tips:
+                    raise LoadError(f"no such branch {snap.branch!r}")
+                if tips[snap.branch] != snap.parent_version:
+                    raise LoadError(
+                        f"concurrent commit conflict: branch "
+                        f"{snap.branch!r} is at version "
+                        f"{tips[snap.branch]}, this writer derived from "
+                        f"version {snap.parent_version}; re-read and retry"
+                    )
+            slot = hv + 1
+            snap.version = slot
+            new_tips = dict(tips)
+            for k, v in (branch_edits or {}).items():
+                if v is None:
+                    new_tips.pop(k, None)
+                elif v == self._SLOT:
+                    # "the slot this very commit takes" — create_branch
+                    # forks at its own creation commit so the fork point
+                    # IS the committing branch's new tip (anything older
+                    # would be instantly behind and never fast-forwardable)
+                    new_tips[k] = slot
+                else:
+                    new_tips[k] = int(v)
+            new_tips[snap.branch] = slot
+            snap.branches = new_tips
+            if snap.committed_at_ms < 0 or attempt > 0:
+                snap.committed_at_ms = int(time.time() * 1000)
+            vpath = os.path.join(self.meta_dir, f"version-{slot:08d}.json")
+            vtmp = os.path.join(self.meta_dir, f".version.{uuid.uuid4().hex}")
+            with open(vtmp, "w") as f:
+                f.write(snap.to_json())
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                self._claim_slot(vtmp, vpath, slot)
+            except LoadError as e:
+                # slot lost to a competitor (possibly on another
+                # branch, possibly an in-flight claim whose HEAD swing
+                # hasn't landed yet): re-read and rebase; the
+                # per-branch parent check above converts a same-branch
+                # advance into the real conflict error
+                last_err = e
+                time.sleep(0.02 * (attempt + 1))
+                continue
+            finally:
+                if os.path.exists(vtmp):
+                    os.remove(vtmp)
+            tmp = os.path.join(self.meta_dir, f".HEAD.{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(str(slot))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(self.meta_dir, "HEAD"))  # atomic
+            return
+        raise last_err  # all rebase attempts lost their slot race
 
     def _claim_slot(self, vtmp: str, vpath: str, version: int) -> None:
         """Link the fully-written manifest into the version slot; the
@@ -1161,6 +1325,113 @@ class LakeTable:
         """Current tag name -> pinned version."""
         return dict(self.current().refs)
 
+    # --------------------------------------------- branches (WAP) --
+    def create_branch(
+        self, name: str, version: int | None = None
+    ) -> dict[str, Any]:
+        """Create a branch ref (Iceberg ALTER TABLE ... CREATE BRANCH)
+        pointing at this handle's branch tip (or an explicit
+        ``version``). The write-audit-publish opener: stage risky work
+        (a backfill, a schema change, a suspect binlog window) on the
+        branch via ``on_branch(name)`` — full merge/compact/DDL
+        capability, zero main-branch visibility — audit it, then
+        ``fast_forward`` to publish atomically or ``drop_branch`` to
+        discard. A branch tip and the files it references survive
+        expire_snapshots like any ref. Metadata-only commit; O(1)."""
+        if name == "main":
+            raise LoadError("branch 'main' always exists")
+        tips = self.branches()
+        if name in tips:
+            raise LoadError(f"branch {name!r} already exists")
+        snap = self.current()
+        if version is None:
+            # fork at the creation commit itself: the fork point must BE
+            # the parent branch's tip or the branch is born behind it
+            # (this creation commit advances the parent) and could never
+            # fast-forward back
+            v: int = self._SLOT
+        else:
+            v = int(version)
+            try:
+                self.snapshot(v)
+            except FileNotFoundError:
+                raise LoadError(f"branch target version {v} does not exist")
+        child = snap.child()
+        self._commit(child, branch_edits={name: v})
+        return {"branch": name, "at": child.branches[name]}
+
+    def drop_branch(self, name: str) -> dict[str, Any]:
+        """Remove a branch ref (Iceberg DROP BRANCH) — its unpublished
+        snapshots and files rejoin the retention pool at the next
+        expire_snapshots/vacuum. The discard half of WAP."""
+        if name == "main":
+            raise LoadError("cannot drop branch 'main'")
+        tips = self.branches()
+        if name not in tips:
+            raise LoadError(f"no such branch {name!r}")
+        if name == self._branch:
+            raise LoadError("cannot drop the branch this handle is on")
+        self._commit(self.current().child(), branch_edits={name: None})
+        return {"dropped": name, "was_at": tips[name]}
+
+    def fast_forward(self, branch: str) -> dict[str, Any]:
+        """Publish: move THIS handle's branch (typically main) to
+        ``branch``'s tip — Iceberg's fast_forward procedure, the
+        write-audit-publish commit. Metadata-only and atomic: the new
+        snapshot's content IS the branch tip's state (files, schema,
+        bucket spec, applied-batch log, watermark), so consumers see
+        the audited state in one swing and CDC replay bookkeeping moves
+        with it.
+
+        Fast-forward-only, verified in O(1) metadata reads with no
+        manifest walking (robust to expired intermediates): the target
+        tip must be the branch's fork point (first publish), or itself
+        a previous fast-forward from the same branch (``ff_source``
+        stamp — repeated WAP cycles off one long-lived branch). If the
+        target branch advanced independently since the fork, the
+        publish is rejected — rebase by recreating the branch."""
+        cur = self.current()  # target (this handle's) branch tip
+        tips = self.branches()
+        if branch not in tips:
+            raise LoadError(f"no such branch {branch!r}")
+        bt = int(tips[branch])
+        if bt == cur.version or (
+            bool(cur.ff_source)
+            and cur.ff_source[0] == branch
+            and int(cur.ff_source[1]) == bt
+        ):  # tip already published (possibly by a previous fast_forward)
+            return {"version": cur.version, "noop": True}
+        bs = self.snapshot(bt)
+        if bs.branch != branch:
+            raise LoadError(
+                f"branch {branch!r} has no commits ahead of "
+                f"{cur.branch!r}; nothing to fast-forward"
+            )
+        ancestor = bs.fork_version == cur.version or (
+            bool(cur.ff_source)
+            and cur.ff_source[0] == branch
+            and int(cur.ff_source[1]) <= bt
+        )
+        if not ancestor:
+            raise LoadError(
+                f"not fast-forwardable: {cur.branch!r} advanced since "
+                f"{branch!r} forked (tip {cur.version}, fork "
+                f"{bs.fork_version}); recreate the branch from the "
+                f"current tip and re-apply"
+            )
+        new_snap = bs.child(
+            branch=cur.branch,
+            parent_version=cur.version,
+            fork_version=cur.fork_version,
+            ff_source=[branch, bt],
+        )
+        self._commit(new_snap)
+        return {
+            "version": new_snap.version,
+            "published": branch,
+            "from_version": bt,
+        }
+
     def rollback(self, version: int) -> dict[str, Any]:
         """Roll the table back to an earlier snapshot — the CDC
         operator's undo for a bad deploy / poisoned batch. Iceberg
@@ -1187,7 +1458,14 @@ class LakeTable:
                 f"current version {cur.version}"
             )
         target = self.snapshot(version)
-        new_snap = target.child(version=cur.version + 1)
+        # derive from the TARGET's state but commit onto THIS branch's
+        # tip: parent/branch/fork describe the commit's position in the
+        # branch chain, not where its content came from
+        new_snap = target.child(
+            branch=cur.branch,
+            parent_version=cur.version,
+            fork_version=cur.fork_version,
+        )
         self._commit(new_snap)
         return {
             "version": new_snap.version,
@@ -1556,19 +1834,19 @@ class LakeTable:
     def expire_snapshots(self, keep_last: int = 5) -> dict[str, Any]:
         """Drop old snapshot manifests and delete data files referenced
         ONLY by them (Iceberg expire_snapshots). Time travel remains
-        available for the kept window; versions pinned by a tag
-        (``create_tag``) are kept — with their files — regardless of
-        age, exactly like Iceberg refs gate snapshot expiry."""
-        cur = self.current()
+        available for the kept window; versions pinned by a REF — a tag
+        (``create_tag``) or any branch's tip (``create_branch``) — are
+        kept, with their files, regardless of age, exactly like Iceberg
+        refs gate snapshot expiry. Tags are per-branch metadata, so the
+        union of every tip's refs is protected."""
+        tips = _tips(self._head_snapshot())
         versions = sorted(
             int(p.split("version-")[1].split(".")[0])
             for p in glob.glob(os.path.join(self.meta_dir, "version-*.json"))
         )
-        keep = (
-            set(versions[-keep_last:])
-            | {cur.version}
-            | {int(v) for v in cur.refs.values()}
-        )
+        keep = set(versions[-keep_last:]) | {int(v) for v in tips.values()}
+        for tv in set(tips.values()):
+            keep |= {int(v) for v in self.snapshot(int(tv)).refs.values()}
         live: set[str] = set()
         for v in keep:
             live.update(f["path"] for f in self.snapshot(v).files)

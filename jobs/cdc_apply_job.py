@@ -51,6 +51,11 @@ def parse_args(argv):
                         "write.merge.mode property: merge-on-read "
                         "appends per-bucket delta files (write cost "
                         "O(batch)) with LWW resolution at read/compaction")
+    p.add_argument("--branch", default=None,
+                   help="apply onto this table branch instead of main "
+                        "(write-audit-publish: audit the branch, then "
+                        "table_admin_job fast-forward publishes it); "
+                        "pass '' to disable a config file's branch")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--trigger", default=None, help="processingTime, e.g. '10 seconds'; omit for availableNow replay")
     p.add_argument("--config", default=None,
@@ -100,7 +105,13 @@ def main(argv=None) -> int:
             if args.column_map
             else base_cdc.column_map
         ),
+        branch=(args.branch if args.branch is not None
+                else base_cdc.branch),
     )
+    if cdc.branch:
+        if cdc.branch not in table.branches():
+            table.create_branch(cdc.branch)
+        table = table.on_branch(cdc.branch)
     driver = StreamDriver(
         spark,
         table,

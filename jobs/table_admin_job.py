@@ -22,6 +22,14 @@ Commands:
     create-tag     --name t [--at-version V]  pin a snapshot (Iceberg
                                           tag): survives expire-snapshots
     drop-tag       --name t               unpin; next expiry reclaims it
+    create-branch  --name b               fork a branch at the current tip
+                                          (Iceberg CREATE BRANCH; WAP)
+    drop-branch    --name b               discard a branch; expiry reclaims
+    fast-forward   --from b               publish: move main to b's tip
+                                          (rejects if main diverged)
+
+Every command accepts --branch B to operate on branch B instead of main
+(e.g. compact an audit branch before publishing it).
 
 The reference stores rename/partition-evolution knobs and never applies
 them (/root/reference/src/load/delta.rs:62-69); here each is a real,
@@ -38,6 +46,8 @@ import sys
 def parse_args(argv):
     p = argparse.ArgumentParser(description="LakeTable admin")
     p.add_argument("--table", required=True)
+    p.add_argument("--branch", default=None,
+                   help="operate on this branch instead of main")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("describe")
@@ -94,6 +104,20 @@ def parse_args(argv):
     dt = sub.add_parser("drop-tag")
     dt.add_argument("--name", required=True)
 
+    cb = sub.add_parser("create-branch")
+    cb.add_argument("--name", required=True)
+    cb.add_argument("--at-version", type=int, default=None,
+                    help="historical fork point (default: current tip; "
+                         "historical forks are inspect/backfill-only — "
+                         "they cannot fast-forward)")
+
+    db = sub.add_parser("drop-branch")
+    db.add_argument("--name", required=True)
+
+    ff = sub.add_parser("fast-forward")
+    ff.add_argument("--from", dest="src", required=True,
+                    help="branch whose tip to publish onto --branch/main")
+
     return p.parse_args(argv)
 
 
@@ -105,6 +129,8 @@ def main(argv=None) -> int:
 
     spark = get_spark("table-admin")
     t = LakeTable.load(spark, args.table)
+    if args.branch:
+        t = t.on_branch(args.branch)
 
     if args.cmd == "describe":
         snap = t.current()
@@ -128,6 +154,8 @@ def main(argv=None) -> int:
             "watermark_lsn": snap.watermark_lsn,
             "props": snap.props,
             "tags": snap.refs,
+            "branch": snap.branch,
+            "branches": t.branches(),
         }
     elif args.cmd == "rename-column":
         out = t.rename_column(args.old, args.new)
@@ -165,6 +193,12 @@ def main(argv=None) -> int:
         out = t.create_tag(args.name, version=args.at_version)
     elif args.cmd == "drop-tag":
         out = t.drop_tag(args.name)
+    elif args.cmd == "create-branch":
+        out = t.create_branch(args.name, version=args.at_version)
+    elif args.cmd == "drop-branch":
+        out = t.drop_branch(args.name)
+    elif args.cmd == "fast-forward":
+        out = t.fast_forward(args.src)
     else:  # pragma: no cover - argparse enforces choices
         raise SystemExit(2)
 

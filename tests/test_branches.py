@@ -1,0 +1,233 @@
+"""Branch refs + write-audit-publish (Iceberg branching semantics):
+isolation, fast-forward publish, divergence rejection, ref-gated
+expiry, cross-branch commit rebase, and the CDC stream-on-branch flow.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rs_spark.cdc.stream import StreamDriver
+from etl_rs_spark.config import CdcConfig
+from etl_rs_spark.errors import LoadError
+from etl_rs_spark.generator import (
+    gen_change_stream,
+    to_envelope,
+    write_event_files,
+)
+from etl_rs_spark.oracle import replay
+from etl_rs_spark.sinks.lake import LakeTable, Snapshot
+from tests.util import assert_state_equal
+
+DDL = "conv_id string, turn_idx int, ts timestamp"
+
+
+def _df(spark, n=8, convs=4, base=1700000000):
+    return spark.range(n).select(
+        F.format_string("c%d", F.col("id") % convs).alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.timestamp_seconds(F.lit(base) + F.col("id")).alias("ts"),
+    )
+
+
+def test_branch_isolation_and_listing(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=4)
+    t.append(_df(spark, 4))
+    assert t.branches() == {"main": 1}
+    r = t.create_branch("audit")
+    assert r["branch"] == "audit" and "audit" in t.branches()
+    b = t.on_branch("audit")
+    b.append(_df(spark, 8))
+    # branch sees fork state + its own writes; main sees neither
+    assert b.read().count() == 12
+    assert t.read().count() == 4
+    # main advances after the fork: invisible to the branch
+    t.append(_df(spark, 2, base=1800000000))
+    assert t.read().count() == 6
+    assert b.read().count() == 12
+    with pytest.raises(LoadError):
+        t.on_branch("nope")
+    with pytest.raises(LoadError):
+        t.create_branch("audit")  # duplicate
+    with pytest.raises(LoadError):
+        t.create_branch("main")
+
+
+def test_fast_forward_publish_and_repeat_cycles(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=4)
+    t.append(_df(spark, 4))
+    t.create_branch("stage")
+    b = t.on_branch("stage")
+    b.append(_df(spark, 6, base=1800000000))
+    r = t.fast_forward("stage")
+    assert r["published"] == "stage"
+    assert t.read().count() == 10
+    # second WAP cycle off the SAME long-lived branch (ff_source path)
+    b.append(_df(spark, 3, base=1900000000))
+    t.fast_forward("stage")
+    assert t.read().count() == 13
+    # idempotent no-op when tips already agree
+    assert t.fast_forward("stage").get("noop") is True
+
+
+def test_fast_forward_rejected_after_divergence(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=4)
+    t.append(_df(spark, 4))
+    t.create_branch("stage")
+    b = t.on_branch("stage")
+    b.append(_df(spark, 6, base=1800000000))
+    t.append(_df(spark, 2, base=1900000000))  # main diverges
+    with pytest.raises(LoadError, match="not fast-forwardable"):
+        t.fast_forward("stage")
+    # main keeps its own state; the branch keeps its own
+    assert t.read().count() == 6
+    assert b.read().count() == 10
+
+
+def test_fast_forward_moves_cdc_bookkeeping(spark, tmp_path):
+    """Publishing a branch moves the applied-batch log and LSN
+    watermark with the data, so a stream that applied on the branch
+    stays exactly-once after the publish."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=4)
+    t.create_branch("stage")
+    b = t.on_branch("stage")
+    w = _df(spark, 6).withColumn("op", F.lit("U")).withColumn(
+        "lsn", F.col("turn_idx").cast("long")
+    )
+    b.merge(w, run_id="r1", batch_id=0)
+    t.fast_forward("stage")
+    cur = t.current()
+    assert cur.applied == {"r1": 0}
+    assert cur.watermark_lsn == 5
+    # replaying the same batch against MAIN is now a no-op
+    res = t.merge(w, run_id="r1", batch_id=0)
+    assert res.get("skipped") is True
+
+
+def test_drop_branch_and_expiry_reclaims(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    t.append(_df(spark, 4))
+    t.create_branch("tmp")
+    b = t.on_branch("tmp")
+    b.append(_df(spark, 20, base=1800000000))
+    branch_files = {
+        f["path"] for f in b.current().files
+    } - {f["path"] for f in t.current().files}
+    assert branch_files
+    with pytest.raises(LoadError):
+        b.drop_branch("tmp")  # not from the branch's own handle
+    with pytest.raises(LoadError):
+        t.drop_branch("main")
+    t.drop_branch("tmp")
+    assert "tmp" not in t.branches()
+    with pytest.raises(LoadError):
+        t.on_branch("tmp")
+    # with the ref gone, expiry + vacuum reclaim branch-only files
+    t.append(_df(spark, 2, base=1900000000))
+    t.expire_snapshots(keep_last=1)
+    t.vacuum_orphans(older_than_s=0)
+    assert not any(os.path.exists(p) for p in branch_files)
+    assert t.read().count() == 6
+
+
+def test_expiry_protects_branch_tips_and_their_tags(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    t.append(_df(spark, 4))
+    t.create_branch("keepme")
+    b = t.on_branch("keepme")
+    b.append(_df(spark, 6, base=1800000000))
+    tip = t.branches()["keepme"]
+    b.create_tag("pin")  # tag created ON the branch
+    pinned = b.tags()["pin"]
+    for i in range(8):  # push both far outside the keep-last window
+        t.append(_df(spark, 1, base=1900000000 + i))
+    t.expire_snapshots(keep_last=2)
+    assert b.read(version=tip).count() == 10  # tip snapshot survives
+    assert b.read(version=pinned).count() == 10  # per-branch tag survives
+    assert b.read().count() == 10
+
+
+def test_cross_branch_commit_rebases_not_conflicts(spark, tmp_path):
+    """A commit whose branch tip is unchanged must succeed even when
+    OTHER branches advanced the global version sequence underneath it
+    (slot rebase); a same-branch advance must still conflict."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    t.append(_df(spark, 4))
+    t.create_branch("b1")
+    b = t.on_branch("b1")
+    # writer derives its snapshot from b1's tip...
+    child = b.current().child()
+    # ...then main advances the GLOBAL slot twice
+    t.append(_df(spark, 2, base=1800000000))
+    t.append(_df(spark, 2, base=1900000000))
+    b._commit(child)  # must rebase onto a fresh slot, not conflict
+    assert t.branches()["b1"] == child.version
+    assert child.version > t.branches()["main"] - 2
+    # same-branch advance is still a real conflict
+    stale = b.current().child()
+    b.append(_df(spark, 1, base=1950000000))
+    with pytest.raises(LoadError, match="conflict"):
+        b._commit(stale)
+
+
+def test_branch_rollback_and_time_travel(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    t.append(_df(spark, 4))
+    t.create_branch("x")
+    b = t.on_branch("x")
+    b.append(_df(spark, 6, base=1800000000))
+    v_good = b.current().version
+    b.append(_df(spark, 5, base=1900000000))
+    assert b.read().count() == 15
+    b.rollback(v_good)
+    assert b.read().count() == 10
+    assert t.read().count() == 4  # main untouched throughout
+    # as-of-timestamp time travel resolves within the branch lineage
+    ts_good = b.current().committed_at_ms
+    assert b.version_as_of(ts_good) == b.current().version
+
+
+def test_manifest_forward_compat_ignores_unknown_keys(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    t.append(_df(spark, 4))
+    snap = t.current()
+    d = json.loads(snap.to_json())
+    d["some_future_metadata_field"] = {"x": 1}
+    restored = Snapshot.from_json(json.dumps(d))
+    assert restored.version == snap.version
+    assert restored.files == snap.files
+
+
+def test_stream_on_branch_then_publish_equals_oracle(spark, tmp_path):
+    """The WAP ingest flow end to end: the CDC stream applies onto a
+    branch (main stays frozen for consumers), the audited branch is
+    fast-forwarded, and main's published state equals the replay
+    oracle."""
+    ev = gen_change_stream(
+        spark, n_events=1500, n_convs=12, turns_per_conv=6, seed=23
+    ).cache()
+    binlog = str(tmp_path / "binlog")
+    write_event_files(to_envelope(ev), binlog, n_files=3)
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "table"),
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+        num_buckets=4,
+    )
+    t.create_branch("ingest")
+    drv = StreamDriver(
+        spark,
+        t.on_branch("ingest"),
+        binlog,
+        str(tmp_path / "ckpt"),
+        cfg=CdcConfig(num_buckets=4),
+    )
+    drv.run_available_now()
+    assert t.read().count() == 0  # consumers saw nothing mid-ingest
+    t.fast_forward("ingest")
+    assert_state_equal(
+        t.read().toPandas(), replay(ev.toPandas())
+    )

@@ -224,3 +224,30 @@ def test_tags_pin_and_drop(ice_spark):
     t.drop_tag("train-cut")
     refs = ice_spark.sql("SELECT name FROM lake.db.tags.refs").collect()
     assert "train-cut" not in {r.name for r in refs}
+
+
+def test_branch_wap_publish(ice_spark):
+    """create_branch/fast_forward twin — the write-audit-publish loop:
+    stage a merge on a branch (main invisible), audit it there, then
+    fast_forward publishes atomically; drop_branch discards the ref."""
+    t = IcebergTable.create(ice_spark, "lake.db.wap", DDL, num_buckets=4)
+    t.merge(_src(ice_spark, [("a", 0, "v1", TS, 1, "U")]))
+    t.create_branch("stage")
+    ice_spark.sql(
+        "INSERT INTO lake.db.wap.branch_stage "
+        "SELECT 'b', 0, 'staged', TIMESTAMP'2024-01-01', 2L, false"
+    )
+    main_rows = {r.conv_id for r in t.read().collect()}
+    assert main_rows == {"a"}  # staged write invisible on main
+    staged = {
+        r.conv_id
+        for r in ice_spark.sql(
+            "SELECT * FROM lake.db.wap VERSION AS OF 'stage'"
+        ).collect()
+    }
+    assert staged == {"a", "b"}
+    t.fast_forward("stage")
+    assert {r.conv_id for r in t.read().collect()} == {"a", "b"}
+    t.drop_branch("stage")
+    refs = ice_spark.sql("SELECT name FROM lake.db.wap.refs").collect()
+    assert "stage" not in {r.name for r in refs}

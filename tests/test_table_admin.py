@@ -106,3 +106,27 @@ def test_admin_tag_lifecycle(spark, tmp_path, table, capsys):
     out = _run(capsys, p, "drop-tag", "--name", "cut")
     assert out["dropped"] == "cut" and out["was_at"] == 1
     assert table.tags() == {}
+
+
+def test_admin_branch_wap_lifecycle(spark, tmp_path, table, capsys):
+    """The operator WAP loop via the CLI: create-branch, stage writes
+    on --branch, audit via describe/lookup, fast-forward to publish,
+    drop-branch to clean up."""
+    p = table.path
+    out = _run(capsys, p, "create-branch", "--name", "stage")
+    assert out["branch"] == "stage"
+    d = _run(capsys, p, "describe")
+    assert "stage" in d["branches"]
+    # stage a compaction on the branch; main keeps its file layout
+    files_main = _run(capsys, p, "describe")["files"]
+    _run(capsys, p, "--branch", "stage", "compact")
+    assert _run(capsys, p, "describe")["files"] == files_main
+    staged = _run(capsys, p, "--branch", "stage", "describe")
+    assert staged["branch"] == "stage"
+    # publish, then drop the branch
+    out = _run(capsys, p, "fast-forward", "--from", "stage")
+    assert out["published"] == "stage"
+    assert table.read().count() == 20
+    out = _run(capsys, p, "drop-branch", "--name", "stage")
+    assert out["dropped"] == "stage"
+    assert "stage" not in table.branches()
