@@ -878,6 +878,22 @@ def q_point_lookup_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """point_lookup with write.key-bloom.bits: each written file's
+    manifest entry carries a key bloom (pmod(xxhash64(key,i), bits)
+    bitmap), so under the default HASH layout — where every salted
+    file spans the whole key range and min/max bounds cannot
+    discriminate — ``lookup`` still skips same-bucket files that
+    definitely lack the key without opening them
+    (tests/test_lake_table.py::test_key_bloom_prunes_hash_layout_files
+    plan-asserts the skip via inputFiles). Same oracle as
+    point_lookup — physical/metadata layout must never change query
+    results."""
+    return _point_lookup_impl(
+        spark, sf_dir, props={"write.key-bloom.bits": 8192}
+    )
+
+
 def _point_lookup_impl(
     spark: SparkSession, sf_dir: str, props: dict | None
 ) -> DataFrame:
@@ -1375,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_mor": q_cdc_apply_mor,
         "point_lookup": q_point_lookup,
         "point_lookup_range": q_point_lookup_range,
+        "point_lookup_bloom": q_point_lookup_bloom,
         "cdc_rename_drop": q_cdc_rename_drop,
         "cdc_bucket_evolution": q_cdc_bucket_evolution,
         "time_range_scan": q_time_range_scan,
@@ -1964,6 +1981,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE op <> 'D' AND user_id IN (1,2,3,4,5,6,7,8,9,10)
         """,
         "point_lookup_range": """
+            WITH ops AS (
+                SELECT user_id,
+                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                       value, ts, event_id AS lsn
+                FROM events
+            ), winners AS (
+                SELECT * FROM ops
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, lsn DESC) = 1
+            )
+            SELECT user_id, round(value, 2) AS value, ts
+            FROM winners
+            WHERE op <> 'D' AND user_id IN (1,2,3,4,5,6,7,8,9,10)
+        """,
+        "point_lookup_bloom": """
             WITH ops AS (
                 SELECT user_id,
                        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,

@@ -189,20 +189,49 @@ def _footer_stats(
     return out
 
 
-def _file_may_contain(f: dict[str, Any], vals: Sequence[Any]) -> bool:
-    """True when the manifest's per-file key bounds admit ANY of the
-    sought bucket-key values. Missing bounds (pre-feature manifests,
-    stats-less footers) and cross-type comparisons keep the file —
-    pruning is only ever an optimization, never a correctness input."""
+#: hash-function count for the manifest key bloom (write + probe side)
+_KB_K = 3
+
+
+def _file_may_contain(
+    f: dict[str, Any],
+    vals: Sequence[Any],
+    hashes: Sequence[Sequence[int]] | None = None,
+) -> bool:
+    """True when the manifest's per-file key metadata admits ANY of the
+    sought bucket-key values: the value must fall inside the file's key
+    bounds (``min_key``/``max_key``) AND, when the file carries a key
+    bloom (``write.key-bloom.bits``), all of the value's bloom bits
+    must be set. ``hashes`` are the values' raw xxhash64 probe hashes
+    (position i = hash_i mod the file's recorded bits — computed
+    against each file's own bits so mixed-setting file sets stay
+    correct). Missing bounds/bloom/hashes and cross-type comparisons
+    keep the file — pruning is only ever an optimization, never a
+    correctness input."""
     mn, mx = f.get("min_key"), f.get("max_key")
-    if mn is None or mx is None:
+    bloom, bits, kbk = f.get("key_bloom"), f.get("kb_bits"), f.get("kb_k")
+    bm: bytes | None = None
+    if bloom and hashes is not None and bits and (kbk or _KB_K) <= _KB_K:
+        import base64
+
+        bm = base64.b64decode(bloom)
+    for i, v in enumerate(vals):
+        if mn is not None and mx is not None:
+            try:
+                if not (mn <= v <= mx):
+                    continue
+            except TypeError:
+                pass  # cross-type bounds: can't exclude this value
+        if bm is not None:
+            hit = True
+            for h in hashes[i][: int(kbk or _KB_K)]:
+                p = h % int(bits)
+                if not (bm[p // 8] >> (p % 8)) & 1:
+                    hit = False
+                    break
+            if not hit:
+                continue
         return True
-    for v in vals:
-        try:
-            if mn <= v <= mx:
-                return True
-        except TypeError:
-            return True
     return False
 
 
@@ -915,6 +944,7 @@ class LakeTable:
         as_of_ms: int | None = None,
         ts_range: tuple[Any, Any] | None = None,
         key_values: Sequence[Any] | None = None,
+        key_hashes: Sequence[Sequence[int]] | None = None,
     ) -> DataFrame:
         """Read the table's current (LWW-resolved, tombstone-filtered)
         state, optionally restricted to ``buckets`` (manifest-pruned)
@@ -966,7 +996,9 @@ class LakeTable:
         kvals: list[Any] | None = None
         if key_values is not None:
             kvals = list(key_values)
-            files = [f for f in files if _file_may_contain(f, kvals)]
+            files = [
+                f for f in files if _file_may_contain(f, kvals, key_hashes)
+            ]
         lo = hi = None
         if ts_range is not None:
             lo, hi = ts_range
@@ -1047,26 +1079,46 @@ class LakeTable:
         )
 
     # --------------------------------------------------- point lookup --
-    def _buckets_for(self, values: Sequence[Any], snap: Snapshot) -> list[int]:
-        """Bucket ids the given bucket-column values hash into — computed
-        with the SAME expression the write path partitions by
-        (``bucket_expr``'s xxhash64), over a literal len(values)-row
-        frame. A driver-local micro-job; never touches table data."""
+    def _key_probe(
+        self, values: Sequence[Any], snap: Snapshot
+    ) -> tuple[list[int], list[list[int]]]:
+        """Bucket ids the given bucket-column values hash into plus the
+        values' raw bloom probe hashes — computed with the SAME
+        expressions the write path uses (``bucket_expr``'s xxhash64 and
+        ``_key_blooms``' xxhash64(key, i) family), over a literal
+        len(values)-row frame. A driver-local micro-job; never touches
+        table data."""
         btype = next(
             f.dataType
             for f in snap.schema().fields
             if f.name == snap.bucket_col
         )
         vdf = self.spark.createDataFrame(
-            [(v,) for v in values],
-            T.StructType([T.StructField("v", btype)]),
+            [(i, v) for i, v in enumerate(values)],
+            T.StructType(
+                [
+                    T.StructField("i", T.IntegerType()),
+                    T.StructField("v", btype),
+                ]
+            ),
         )
-        rows = (
-            vdf.select(bucket_expr("v", snap.num_buckets).alias("b"))
-            .distinct()
-            .collect()
-        )
-        return sorted(r["b"] for r in rows)
+        rows = vdf.select(
+            "i",
+            bucket_expr("v", snap.num_buckets).alias("b"),
+            *[
+                F.xxhash64(F.col("v"), F.lit(k)).alias(f"h{k}")
+                for k in range(_KB_K)
+            ],
+        ).collect()
+        rows.sort(key=lambda r: r["i"])  # hashes[j] must align with values[j]
+        buckets = sorted({r["b"] for r in rows})
+        hashes = [[r[f"h{k}"] for k in range(_KB_K)] for r in rows]
+        return buckets, hashes
+
+    def _buckets_for(self, values: Sequence[Any], snap: Snapshot) -> list[int]:
+        """Bucket ids for the given bucket-column values (see
+        ``_key_probe``)."""
+        return self._key_probe(values, snap)[0]
 
     def lookup(
         self,
@@ -1094,18 +1146,23 @@ class LakeTable:
         bucket that has accumulated many files between compactions
         still opens only the files that can actually hold the
         conversation, and sorted-write row-group stats prune the rest
-        within each file."""
+        within each file. With ``write.key-bloom.bits`` set, each
+        file's manifest bloom additionally skips same-bucket files that
+        definitely lack the key even when their key BOUNDS overlap it —
+        the case hash-distributed writes always hit, since every salted
+        file spans the full key range."""
         if isinstance(values, (list, tuple, set, frozenset)):
             vals = list(values)
         else:
             vals = [values]
         snap = self.current() if version is None else self.snapshot(version)
-        wanted = self._buckets_for(vals, snap) if vals else []
+        wanted, hashes = self._key_probe(vals, snap) if vals else ([], [])
         return self.read(
             version=snap.version,
             include_meta=include_meta,
             buckets=wanted,
             key_values=vals,
+            key_hashes=hashes,
         )
 
     # ------------------------------------------------- schema evolution --
@@ -1759,10 +1816,32 @@ class LakeTable:
         writer = shuffled.write.partitionBy(_BUCKET).mode("overwrite")
         if compression:
             writer = writer.option("compression", compression)
+        # Iceberg parity: write.parquet.bloom-filter-enabled.column.<c>
+        # (+ -fpp/-ndv variants) plant a PARQUET-NATIVE bloom filter in
+        # every row group of column <c> — the reader's row-group filter
+        # then skips groups a pushed equality predicate cannot match,
+        # pruning INSIDE files the manifest-level stats had to keep
+        _BF = "write.parquet.bloom-filter-"
+        for pk, pv in props.items():
+            if pk.startswith(_BF + "enabled.column."):
+                writer = writer.option(
+                    f"parquet.bloom.filter.enabled#{pk[len(_BF) + 15:]}",
+                    str(pv).lower(),
+                )
+            elif pk.startswith(_BF + "fpp.column."):
+                writer = writer.option(
+                    f"parquet.bloom.filter.fpp#{pk[len(_BF) + 11:]}", str(pv)
+                )
+            elif pk.startswith(_BF + "ndv.column."):
+                writer = writer.option(
+                    f"parquet.bloom.filter.expected.ndv#{pk[len(_BF) + 11:]}",
+                    str(pv),
+                )
         writer.parquet(commit_dir)
         t_f = time.monotonic()
         paths = glob.glob(os.path.join(commit_dir, f"{_BUCKET}=*", "*.parquet"))
         stats = _footer_stats_many(paths, ts_col, key_col)
+        blooms = self._key_blooms(paths, key_col, props)
         if os.environ.get("ETL_DEBUG_MERGE"):
             print(
                 f"[write] job: {t_f-t_w:.1f}s footers({len(paths)}): "
@@ -1771,7 +1850,69 @@ class LakeTable:
         out = []
         for p in paths:
             b = int(p.split(f"{_BUCKET}=")[1].split(os.sep)[0])
-            out.append({"path": p, "bucket": b, "epoch": epoch, **stats[p]})
+            out.append(
+                {
+                    "path": p,
+                    "bucket": b,
+                    "epoch": epoch,
+                    **stats[p],
+                    **blooms.get(p, {}),
+                }
+            )
+        return out
+
+    def _key_blooms(
+        self,
+        paths: list[str],
+        key_col: str | None,
+        props: dict[str, Any],
+    ) -> dict[str, dict[str, Any]]:
+        """Per-file key bloom for the manifest (opt-in table property
+        ``write.key-bloom.bits``): one distributed pass over the
+        just-written files' KEY COLUMN (column-pruned scan) collects,
+        per file, the set positions ``pmod(xxhash64(key, i), bits)``
+        for i < _KB_K; the driver packs them into a bits/8-byte bitmap
+        stored base64 in the file's manifest entry.
+
+        What it buys at scale: under the default hash distribution a
+        hot bucket's many files all span the full key range, so
+        min_key/max_key can't discriminate between them — the bloom
+        skips files that definitely lack the key WITHOUT opening them
+        (manifest-level, like Iceberg's puffin/ndv sketches feeding
+        scan planning). Costs one O(batch) single-column job per
+        commit, so it stays opt-in for read-heavy tables; probe hashes
+        use the same Spark xxhash64 family, computed in lookup()'s
+        existing micro-job."""
+        bits = int(props.get("write.key-bloom.bits", 0) or 0)
+        if bits <= 0 or not key_col or not paths:
+            return {}
+        import base64
+        from urllib.parse import unquote, urlparse
+
+        pos = F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(bits))
+                for i in range(_KB_K)
+            ]
+        )
+        rows = (
+            self.spark.read.parquet(*paths)
+            .select(F.input_file_name().alias("f"), F.explode(pos).alias("p"))
+            .groupBy("f")
+            .agg(F.collect_set("p").alias("ps"))
+            .collect()
+        )
+        out: dict[str, dict[str, Any]] = {}
+        for r in rows:
+            bm = bytearray((bits + 7) // 8)
+            for p in r["ps"]:
+                bm[p // 8] |= 1 << (p % 8)
+            path = unquote(urlparse(r["f"]).path)
+            out[path] = {
+                "key_bloom": base64.b64encode(bytes(bm)).decode(),
+                "kb_bits": bits,
+                "kb_k": _KB_K,
+            }
         return out
 
     def _with_bucket(self, df: DataFrame, snap: Snapshot) -> DataFrame:

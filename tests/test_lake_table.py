@@ -921,6 +921,111 @@ def test_range_distribution_gives_disjoint_key_bounds(spark, tmp_path):
     assert t.read().count() == 400
 
 
+def test_key_bloom_prunes_hash_layout_files(spark, tmp_path):
+    """write.key-bloom.bits: under the default HASH distribution,
+    every append/merge leaves files spanning the whole key range, so
+    min/max bounds can't discriminate between a bucket's files — the
+    manifest bloom must. Three appends of DISJOINT key sets into one
+    bucket: a lookup for a key from the second append must open fewer
+    files than the bucket holds (bloom-skipped without being opened)
+    and return exactly the right rows."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        DDL,
+        num_buckets=1,
+        props={"write.key-bloom.bits": 4096},
+    )
+
+    def batch(lo):
+        return spark.range(lo, lo + 30).select(
+            F.format_string("c%03d", F.col("id")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        )
+
+    for lo in (0, 1000, 2000):
+        t.append(batch(lo))
+    snap = t.current()
+    assert len(snap.files) == 3
+    assert all(
+        f.get("key_bloom") and f.get("kb_bits") == 4096 for f in snap.files
+    )
+    got = t.lookup("c1005")
+    assert got.count() == 1
+    opened = got.inputFiles()
+    assert len(opened) == 1  # blooms skipped the two foreign files
+    # correctness guard: a key present in EVERY append is found in all
+    t2 = t.lookup("c0999")  # absent everywhere
+    assert t2.count() == 0
+    assert len(t2.inputFiles()) == 0  # pure metadata miss: no file opened
+    assert t.read().count() == 90
+
+
+def test_key_bloom_survives_compaction_and_merge(spark, tmp_path):
+    """Blooms are recomputed by every write path (merge + compact both
+    route through _write_files), and a bloom-pruned lookup still sees
+    LWW resolution and tombstones correctly."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        DDL,
+        num_buckets=2,
+        props={"write.key-bloom.bits": 1024},
+    )
+    src = spark.range(40).select(
+        F.format_string("c%02d", F.col("id") % 20).alias("conv_id"),
+        (F.col("id") / 20).cast("int").alias("turn_idx"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+    )
+    t.merge(src, run_id="r", batch_id=0)
+    # delete one conversation's turn, then compact
+    d = spark.createDataFrame(
+        [("c07", 0, __import__("datetime").datetime(2024, 1, 1), 100, "D")],
+        "conv_id string, turn_idx int, ts timestamp, lsn long, op string",
+    )
+    t.merge(d, run_id="r", batch_id=1)
+    t.compact()
+    assert all(f.get("key_bloom") for f in t.current().files)
+    assert t.lookup("c07").count() == 1  # turn 1 survives, turn 0 deleted
+    assert t.lookup("c08").count() == 2
+
+
+def test_parquet_native_bloom_filter_property(spark, tmp_path):
+    """write.parquet.bloom-filter-enabled.column.<col> (Iceberg table
+    property) plants parquet-native bloom filters: same data written
+    with the property on is strictly larger on disk (the serialized
+    bloom bitsets), and reads stay identical."""
+    src = spark.range(5000).select(
+        F.format_string("c%04d", F.col("id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+    )
+
+    def size(props):
+        t = LakeTable.create(
+            spark,
+            str(tmp_path / f"t{len(props)}"),
+            DDL,
+            num_buckets=1,
+            props=props,
+        )
+        t.append(src)
+        assert t.read().count() == 5000
+        return sum(os.path.getsize(f["path"]) for f in t.current().files)
+
+    plain = size({})
+    with_bloom = size(
+        {
+            "write.parquet.bloom-filter-enabled.column.conv_id": "true",
+            "write.parquet.bloom-filter-ndv.column.conv_id": "5000",
+        }
+    )
+    assert with_bloom > plain + 1000  # the bloom bitset is in the file
+
+
 def test_key_bounds_never_hide_tombstones(spark, tmp_path):
     """A merge-on-read delete's delta file carries the real key in its
     bounds, so a bounds-pruned lookup still sees the tombstone and the
