@@ -1338,6 +1338,51 @@ def q_cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frozen.unionByName(_state("published"))
 
 
+def q_cdc_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML under the oracle (Iceberg DELETE FROM / UPDATE ...
+    WHERE; sinks/lake.py delete_where/update_where): the change stream
+    replays into the table, then DELETE removes every row with value <
+    0.2 and UPDATE doubles (and rounds) the value of rows whose user_id
+    is divisible by 3. Both statements ride the CDC merge as
+    watermark+1 LWW events — bucket-pruned, CDF-visible, replay-safe —
+    and the final state must equal DuckDB applying the same replay,
+    filter, and CASE update."""
+    import tempfile
+
+    from etl_rs_spark.sinks.lake import LakeTable
+
+    e = _t(spark, sf_dir, "events")
+    winners = lww_dedup(
+        e.select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.round("value", 2).alias("value"),
+        ),
+        keys=["conv_id", "turn_idx"],
+        order_cols=["ts", "lsn"],
+    )
+    work = tempfile.mkdtemp(prefix="dml-entry-")
+    t = LakeTable.create(
+        spark,
+        f"{work}/t",
+        "conv_id string, turn_idx int, value double, ts timestamp",
+        num_buckets=8,
+    )
+    t.merge(winners, run_id="dml", batch_id=0)
+    t.delete_where("value < 0.2")
+    t.update_where(
+        {"value": "round(value * 2, 2)"}, "cast(conv_id as long) % 3 = 0"
+    )
+    return t.read().select(
+        F.col("conv_id").cast("long").alias("user_id"), "value", "ts"
+    )
+
+
 # -------------------------------------------------------------- contract --
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -1397,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_range_scan": q_time_range_scan,
         "cdc_rollback": q_cdc_rollback,
         "cdc_wap_publish": q_cdc_wap_publish,
+        "cdc_dml": q_cdc_dml,
     }
 
 
@@ -2074,6 +2120,26 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'published' AS phase, user_id, value, ts
             FROM wa WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_dml": """
+            WITH w AS (
+                SELECT user_id, ts, event_type,
+                       round(value, 2) AS value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events
+            ),
+            state AS (
+                SELECT user_id, value, ts FROM w
+                WHERE rn = 1 AND event_type <> 'error'
+            )
+            SELECT user_id,
+                   CASE WHEN user_id % 3 = 0
+                        THEN round(value * 2, 2) ELSE value END AS value,
+                   ts
+            FROM state
+            WHERE NOT (value < 0.2)
         """,
         "cdc_bucket_evolution": """
             WITH w AS (

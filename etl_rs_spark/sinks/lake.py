@@ -1165,6 +1165,75 @@ class LakeTable:
             key_hashes=hashes,
         )
 
+    # -------------------------------------------------------- row DML --
+    def delete_where(self, condition: Any) -> dict[str, Any]:
+        """Row-level DELETE (Iceberg ``DELETE FROM t WHERE p`` — the
+        GDPR / right-to-be-forgotten path) expressed THROUGH the CDC
+        merge rather than beside it: the matching keys of the current
+        snapshot become tombstone events at ``lsn = watermark + 1``
+        (each keeping its stored event time, so the LWW comparison
+        falls through to the strictly-higher LSN) and take the normal
+        merge path. That buys, for free: bucket-pruned rewrites of only
+        the affected buckets, merge-on-read delta semantics when the
+        table runs MoR, visibility in the change data feed (consumers
+        see the deletes), branch/WAP compatibility, and correct replay
+        interplay — a binlog event already below the watermark can
+        never resurrect the row, while a genuinely NEWER event
+        (higher (ts, lsn)) still wins, which is exactly CDC delete
+        semantics. ``condition`` is a Column or a SQL string over the
+        table's columns. Physical removal of the tombstoned payload
+        follows at ``compact(tombstone_lsn_horizon=...)``."""
+        snap = self.current()
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        lsn_name = snap.order_cols[-1]
+        winners = (
+            self.read(version=snap.version)
+            .where(cond)
+            .withColumn("op", F.lit("D"))
+            .withColumn(lsn_name, F.lit(snap.watermark_lsn + 1))
+        )
+        res = self.merge(winners, lsn_col=lsn_name)
+        return {**res, "dml": "delete"}
+
+    def update_where(
+        self, assignments: dict[str, Any], condition: Any = None
+    ) -> dict[str, Any]:
+        """Row-level UPDATE (Iceberg ``UPDATE t SET ... WHERE p``),
+        same construction as ``delete_where``: matching rows of the
+        current snapshot are re-emitted as U-events with the
+        assignments applied at ``lsn = watermark + 1`` and merged.
+        ``assignments`` maps column name -> Column or SQL expression
+        (evaluated against the pre-update row, so ``{"value":
+        "value * 2"}`` works); assigning a NEW column widens the schema
+        through the merge's normal additive evolution. Key and order
+        columns are not assignable (that is an identity change — issue
+        a delete + insert through the stream instead)."""
+        snap = self.current()
+        bad = set(assignments) & set(snap.key_cols) | (
+            set(assignments) & set(snap.order_cols)
+        )
+        if bad:
+            raise LoadError(
+                f"cannot UPDATE key/order columns {sorted(bad)}; delete "
+                f"and re-insert through the change stream instead"
+            )
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        lsn_name = snap.order_cols[-1]
+        df = self.read(version=snap.version)
+        if cond is not None:
+            df = df.where(cond)
+        exprs = {
+            k: (F.expr(v) if isinstance(v, str) else v)
+            for k, v in assignments.items()
+        }
+        winners = (
+            df.withColumns(exprs)
+            .withColumn("op", F.lit("U"))
+            .withColumn(lsn_name, F.lit(snap.watermark_lsn + 1))
+        )
+        res = self.merge(winners, lsn_col=lsn_name)
+        return {**res, "dml": "update"}
+
     # ------------------------------------------------- schema evolution --
     def rename_column(self, old: str, new: str) -> dict[str, Any]:
         """Metadata-only column rename (Iceberg spec: renames preserve

@@ -27,6 +27,10 @@ Commands:
     drop-branch    --name b               discard a branch; expiry reclaims
     fast-forward   --from b               publish: move main to b's tip
                                           (rejects if main diverged)
+    delete         --where "p"            row-level DELETE via LWW
+                                          tombstones (CDF-visible, GDPR)
+    update         --set c=expr [...]     row-level UPDATE via re-emitted
+                   [--where "p"]          winners (expr sees the old row)
 
 Every command accepts --branch B to operate on branch B instead of main
 (e.g. compact an audit branch before publishing it).
@@ -118,6 +122,18 @@ def parse_args(argv):
     ff.add_argument("--from", dest="src", required=True,
                     help="branch whose tip to publish onto --branch/main")
 
+    de = sub.add_parser("delete")
+    de.add_argument("--where", required=True,
+                    help="SQL predicate over the table's columns; "
+                         "matching rows become LWW tombstones through "
+                         "the merge (CDF-visible, replay-safe)")
+
+    up = sub.add_parser("update")
+    up.add_argument("--set", action="append", required=True,
+                    metavar="COL=SQL_EXPR",
+                    help="repeatable; expression sees the pre-update row")
+    up.add_argument("--where", default=None)
+
     return p.parse_args(argv)
 
 
@@ -199,6 +215,11 @@ def main(argv=None) -> int:
         out = t.drop_branch(args.name)
     elif args.cmd == "fast-forward":
         out = t.fast_forward(args.src)
+    elif args.cmd == "delete":
+        out = t.delete_where(args.where)
+    elif args.cmd == "update":
+        sets = dict(kv.split("=", 1) for kv in args.set)
+        out = t.update_where(sets, args.where)
     else:  # pragma: no cover - argparse enforces choices
         raise SystemExit(2)
 

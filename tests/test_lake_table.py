@@ -1026,6 +1026,78 @@ def test_parquet_native_bloom_filter_property(spark, tmp_path):
     assert with_bloom > plain + 1000  # the bloom bitset is in the file
 
 
+def test_delete_where_tombstones_through_merge(spark, tmp_path):
+    """DELETE FROM ... WHERE rides the merge: matching rows are gone
+    from reads, appear as deletes in the CDF, survive replay of
+    already-watermarked events, and lose to genuinely newer events."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=4)
+    src = _df(spark, 12).withColumn("op", F.lit("I")).withColumn(
+        "lsn", F.col("turn_idx").cast("long")
+    )
+    t.merge(src, run_id="r", batch_id=0)
+    wm = t.current().watermark_lsn
+    res = t.delete_where("conv_id = 'c1'")
+    assert res["dml"] == "delete"
+    assert t.read().where("conv_id = 'c1'").count() == 0
+    assert t.read().count() == 9
+    # CDF shows the deletes
+    feed = t.changes(res["version"] - 1).toPandas()
+    assert set(feed[feed._change_type == "delete"].conv_id) == {"c1"}
+    # replaying an old (below-watermark (ts, lsn)) event cannot resurrect
+    old = src.where("conv_id = 'c1' and turn_idx = 1")
+    t.merge(old)
+    assert t.read().where("conv_id = 'c1'").count() == 0
+    # a genuinely newer event wins over the tombstone
+    new = spark.createDataFrame(
+        [("c1", 1, __import__("datetime").datetime(2025, 1, 1), wm + 50, "U")],
+        "conv_id string, turn_idx int, ts timestamp, lsn long, op string",
+    )
+    t.merge(new)
+    assert t.read().where("conv_id = 'c1'").count() == 1
+
+
+def test_update_where_rewrites_matching_rows(spark, tmp_path):
+    ddl = "conv_id string, turn_idx int, text string, ts timestamp"
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl, num_buckets=4)
+    src = spark.range(10).select(
+        F.format_string("c%d", F.col("id") % 5).alias("conv_id"),
+        (F.col("id") / 5).cast("int").alias("turn_idx"),
+        F.lit("orig").alias("text"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+    )
+    t.merge(src, run_id="r", batch_id=0)
+    res = t.update_where({"text": "upper(concat(text, '-', conv_id))"},
+                         "conv_id in ('c1','c2')")
+    assert res["dml"] == "update"
+    got = {
+        (r.conv_id, r.turn_idx): r.text for r in t.read().collect()
+    }
+    assert got[("c1", 0)] == "ORIG-C1" and got[("c2", 1)] == "ORIG-C2"
+    assert got[("c0", 0)] == "orig"
+    # assignments may widen the schema additively
+    t.update_where({"flag": F.lit("redacted")}, "conv_id = 'c3'")
+    rows = t.read().where("conv_id = 'c3'").collect()
+    assert all(r.flag == "redacted" for r in rows)
+    assert t.read().where("conv_id = 'c0'").collect()[0].flag is None
+    # key/order columns are not assignable
+    with pytest.raises(LoadError, match="key/order"):
+        t.update_where({"conv_id": F.lit("x")})
+
+
+def test_dml_on_branch_stays_isolated(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    t.append(_df(spark, 8))
+    t.create_branch("fix")
+    b = t.on_branch("fix")
+    b.delete_where("conv_id = 'c0'")
+    assert b.read().where("conv_id = 'c0'").count() == 0
+    assert t.read().where("conv_id = 'c0'").count() == 2
+    t.fast_forward("fix")
+    assert t.read().where("conv_id = 'c0'").count() == 0
+
+
 def test_key_bounds_never_hide_tombstones(spark, tmp_path):
     """A merge-on-read delete's delta file carries the real key in its
     bounds, so a bounds-pruned lookup still sees the tombstone and the

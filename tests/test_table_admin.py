@@ -108,6 +108,18 @@ def test_admin_tag_lifecycle(spark, tmp_path, table, capsys):
     assert table.tags() == {}
 
 
+def test_admin_row_dml(spark, tmp_path, table, capsys):
+    p = table.path
+    out = _run(capsys, p, "update", "--set", "text=upper(text)",
+               "--where", "conv_id = 'c1'")
+    assert out["dml"] == "update"
+    assert {r.text for r in table.read().where("conv_id='c1'").collect()} == {"X"}
+    out = _run(capsys, p, "delete", "--where", "conv_id = 'c2'")
+    assert out["dml"] == "delete"
+    assert table.read().where("conv_id='c2'").count() == 0
+    assert table.read().count() == 16
+
+
 def test_admin_branch_wap_lifecycle(spark, tmp_path, table, capsys):
     """The operator WAP loop via the CLI: create-branch, stage writes
     on --branch, audit via describe/lookup, fast-forward to publish,
