@@ -1383,6 +1383,61 @@ def q_cdc_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE under the oracle (sinks/lake.py analyze — the role
+    Iceberg Puffin stats play): the change stream replays into a table,
+    ``analyze(exact=True)`` commits per-column null/NDV/min/max into
+    table metadata in ONE resolved-state pass, and the committed
+    numbers must equal DuckDB computing the same statistics over the
+    same replayed state (exact NDV here so the hash can match; the
+    production default is HyperLogLog approx — constant memory per
+    column at 10^10 rows)."""
+    import tempfile
+
+    from etl_rs_spark.sinks.lake import LakeTable
+
+    e = _t(spark, sf_dir, "events")
+    winners = lww_dedup(
+        e.select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.round("value", 2).alias("value"),
+        ),
+        keys=["conv_id", "turn_idx"],
+        order_cols=["ts", "lsn"],
+    )
+    work = tempfile.mkdtemp(prefix="stats-entry-")
+    t = LakeTable.create(
+        spark,
+        f"{work}/t",
+        "conv_id string, turn_idx int, value double, ts timestamp",
+        num_buckets=8,
+    )
+    t.merge(winners, run_id="st", batch_id=0)
+    stats = t.analyze(columns=["conv_id", "value", "ts"], exact=True)
+    rows = [
+        (
+            c,
+            stats["row_count"],
+            s["nulls"],
+            s["ndv"],
+            str(s["min"]),
+            str(s["max"]),
+        )
+        for c, s in stats["columns"].items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col string, row_count long, nulls long, ndv long, "
+        "vmin string, vmax string",
+    )
+
+
 # -------------------------------------------------------------- contract --
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -1443,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rollback": q_cdc_rollback,
         "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_dml": q_cdc_dml,
+        "table_stats": q_table_stats,
     }
 
 
@@ -2140,6 +2196,42 @@ def oracle_sql() -> dict[str, str]:
                    ts
             FROM state
             WHERE NOT (value < 0.2)
+        """,
+        "table_stats": """
+            WITH w AS (
+                SELECT user_id, ts, event_type,
+                       round(value, 2) AS value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events
+            ),
+            state AS (
+                SELECT CAST(user_id AS VARCHAR) AS conv_id, value, ts
+                FROM w WHERE rn = 1 AND event_type <> 'error'
+            )
+            SELECT 'conv_id' AS col, count(*) AS row_count,
+                   CAST(sum(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                   count(DISTINCT conv_id) AS ndv,
+                   CAST(min(conv_id) AS VARCHAR) AS vmin,
+                   CAST(max(conv_id) AS VARCHAR) AS vmax
+            FROM state
+            UNION ALL
+            SELECT 'value', count(*),
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   count(DISTINCT value),
+                   CAST(min(value) AS VARCHAR),
+                   CAST(max(value) AS VARCHAR)
+            FROM state
+            UNION ALL
+            SELECT 'ts', count(*),
+                   CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   count(DISTINCT ts),
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f'),
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f')
+            FROM state
         """,
         "cdc_bucket_evolution": """
             WITH w AS (

@@ -465,6 +465,11 @@ class Snapshot:
     #: what lets a second fast_forward from the same long-lived branch
     #: pass the ancestor check after the first one moved the target.
     ff_source: list = field(default_factory=list)
+    #: table statistics written by ``analyze()`` (Iceberg Puffin-file
+    #: role): {"analyzed_version": V, "row_count": N, "columns":
+    #: {col: {nulls, ndv, min, max}}}. Carried forward by child() —
+    #: ``analyzed_version`` tells readers how stale they are.
+    stats: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         # legacy manifests (pre field-id) synthesize stable ids from
@@ -524,6 +529,7 @@ class Snapshot:
             parent_version=self.version,
             fork_version=self.fork_version,
             ff_source=[],  # per-commit stamp, never inherited
+            stats={k: v for k, v in self.stats.items()},
         )
         base.update(overrides)
         return Snapshot(**base)
@@ -1164,6 +1170,76 @@ class LakeTable:
             key_values=vals,
             key_hashes=hashes,
         )
+
+    # -------------------------------------------------- table statistics --
+    def analyze(
+        self, columns: Sequence[str] | None = None, exact: bool = False
+    ) -> dict[str, Any]:
+        """ANALYZE TABLE ... COMPUTE STATISTICS (the role Iceberg's
+        Puffin statistics files play for scan planning): ONE pass over
+        the resolved current state computes, per column, null count,
+        NDV (HyperLogLog++ ``approx_count_distinct`` by default —
+        constant memory per column at any cardinality, which is the
+        only NDV a 10^10-row table can afford; ``exact=True`` swaps in
+        ``count_distinct`` for oracle tests), and min/max for atomic
+        (orderable) types. The result is committed into table metadata
+        atomically and carried by every later snapshot with its
+        ``analyzed_version``, so consumers (operators sizing bucket
+        counts, engines choosing broadcast sides, humans running
+        describe) can see both the numbers and their staleness."""
+        snap = self.current()
+        cols = list(columns) if columns else [
+            f.name for f in snap.schema().fields
+        ]
+        types = {f.name: f.dataType for f in snap.schema().fields}
+        unknown = [c for c in cols if c not in types]
+        if unknown:
+            raise LoadError(f"no such column(s) {unknown}")
+        aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            ndv = (
+                F.count_distinct(F.col(c))
+                if exact
+                else F.approx_count_distinct(c)
+            )
+            aggs += [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                    f"__nulls_{c}"
+                ),
+                ndv.alias(f"__ndv_{c}"),
+            ]
+            if isinstance(types[c], T.AtomicType):
+                aggs += [
+                    F.min(c).alias(f"__min_{c}"),
+                    F.max(c).alias(f"__max_{c}"),
+                ]
+        row = self.read(version=snap.version).agg(*aggs).first().asDict()
+
+        def _enc(v: Any) -> Any:
+            import datetime as _dt
+            if v is None or isinstance(v, (str, int, float, bool)):
+                return v
+            if isinstance(v, _dt.datetime):
+                return v.isoformat(sep=" ", timespec="microseconds")
+            return str(v)
+
+        colstats = {
+            c: {
+                "nulls": int(row[f"__nulls_{c}"] or 0),
+                "ndv": int(row[f"__ndv_{c}"] or 0),
+                "min": _enc(row.get(f"__min_{c}")),
+                "max": _enc(row.get(f"__max_{c}")),
+            }
+            for c in cols
+        }
+        stats = {
+            "analyzed_version": snap.version,
+            "row_count": int(row["__n"]),
+            "exact_ndv": bool(exact),
+            "columns": colstats,
+        }
+        self._commit(snap.child(stats=stats))
+        return stats
 
     # -------------------------------------------------------- row DML --
     def delete_where(self, condition: Any) -> dict[str, Any]:

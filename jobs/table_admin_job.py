@@ -31,6 +31,8 @@ Commands:
                                           tombstones (CDF-visible, GDPR)
     update         --set c=expr [...]     row-level UPDATE via re-emitted
                    [--where "p"]          winners (expr sees the old row)
+    analyze        [--columns a,b] [--exact]  per-column null/NDV/min/max
+                                          stats committed into metadata
 
 Every command accepts --branch B to operate on branch B instead of main
 (e.g. compact an audit branch before publishing it).
@@ -122,6 +124,12 @@ def parse_args(argv):
     ff.add_argument("--from", dest="src", required=True,
                     help="branch whose tip to publish onto --branch/main")
 
+    an = sub.add_parser("analyze")
+    an.add_argument("--columns", default=None,
+                    help="comma-separated subset (default: all columns)")
+    an.add_argument("--exact", action="store_true",
+                    help="exact NDV instead of HyperLogLog approx")
+
     de = sub.add_parser("delete")
     de.add_argument("--where", required=True,
                     help="SQL predicate over the table's columns; "
@@ -172,6 +180,7 @@ def main(argv=None) -> int:
             "tags": snap.refs,
             "branch": snap.branch,
             "branches": t.branches(),
+            "stats": snap.stats,
         }
     elif args.cmd == "rename-column":
         out = t.rename_column(args.old, args.new)
@@ -215,6 +224,11 @@ def main(argv=None) -> int:
         out = t.drop_branch(args.name)
     elif args.cmd == "fast-forward":
         out = t.fast_forward(args.src)
+    elif args.cmd == "analyze":
+        out = t.analyze(
+            columns=args.columns.split(",") if args.columns else None,
+            exact=args.exact,
+        )
     elif args.cmd == "delete":
         out = t.delete_where(args.where)
     elif args.cmd == "update":

@@ -1098,6 +1098,26 @@ def test_dml_on_branch_stays_isolated(spark, tmp_path):
     assert t.read().where("conv_id = 'c0'").count() == 0
 
 
+def test_analyze_stats_carry_with_staleness(spark, tmp_path):
+    """analyze() commits column stats into metadata; later writes carry
+    them forward with the analyzed_version staleness marker so a reader
+    can tell the numbers predate the newest data."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    t.append(_df(spark, 12, convs=3))
+    st = t.analyze(exact=True)
+    assert st["row_count"] == 12
+    assert st["columns"]["conv_id"]["ndv"] == 3
+    assert st["columns"]["turn_idx"]["min"] == 0
+    av = st["analyzed_version"]
+    t.append(_df(spark, 6, convs=6))
+    cur = t.current()
+    assert cur.stats["analyzed_version"] == av  # stale but visible
+    assert cur.version > av + 1
+    st2 = t.analyze()  # approx NDV path
+    assert st2["row_count"] == 18
+    assert abs(st2["columns"]["conv_id"]["ndv"] - 6) <= 1
+
+
 def test_key_bounds_never_hide_tombstones(spark, tmp_path):
     """A merge-on-read delete's delta file carries the real key in its
     bounds, so a bounds-pruned lookup still sees the tombstone and the

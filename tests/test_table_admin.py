@@ -108,6 +108,22 @@ def test_admin_tag_lifecycle(spark, tmp_path, table, capsys):
     assert table.tags() == {}
 
 
+def test_admin_analyze_commits_stats(spark, tmp_path, table, capsys):
+    p = table.path
+    out = _run(capsys, p, "analyze", "--exact")
+    cs = out["columns"]
+    assert out["row_count"] == 20
+    assert cs["conv_id"]["ndv"] == 5 and cs["conv_id"]["nulls"] == 0
+    assert cs["conv_id"]["min"] == "c0" and cs["conv_id"]["max"] == "c4"
+    assert cs["turn_idx"]["min"] == 0 and cs["turn_idx"]["max"] == 19
+    # committed into metadata: describe sees them, with staleness marker
+    d = _run(capsys, p, "describe")
+    assert d["stats"]["analyzed_version"] == out["analyzed_version"]
+    # approx mode: HLL ndv within 5% on tiny cardinalities is exact-ish
+    out2 = _run(capsys, p, "analyze", "--columns", "conv_id")
+    assert abs(out2["columns"]["conv_id"]["ndv"] - 5) <= 1
+
+
 def test_admin_row_dml(spark, tmp_path, table, capsys):
     p = table.path
     out = _run(capsys, p, "update", "--set", "text=upper(text)",
