@@ -1171,6 +1171,83 @@ class LakeTable:
             key_hashes=hashes,
         )
 
+    # ------------------------------------------------- metadata tables --
+    def inspect_files(self, version: int | None = None) -> DataFrame:
+        """The manifest as a queryable DataFrame (Iceberg's ``t.files``
+        metadata table): one row per live data file with its bucket,
+        row count, LSN/event-time/key ranges, MoR kind, write spec and
+        epoch, and whether it carries a key bloom. Driver-built from
+        metadata already in memory — no data files touched."""
+        snap = self.current() if version is None else self.snapshot(version)
+        rows = [
+            (
+                f["path"],
+                int(f["bucket"]),
+                int(f.get("rows", 0)),
+                f.get("min_lsn"),
+                f.get("max_lsn"),
+                f.get("min_ts"),
+                f.get("max_ts"),
+                None if f.get("min_key") is None else str(f["min_key"]),
+                None if f.get("max_key") is None else str(f["max_key"]),
+                f.get("kind", "base"),
+                _file_spec(f, snap),
+                int(f.get("epoch", 0)),
+                bool(f.get("key_bloom")),
+            )
+            for f in snap.files
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, bucket int, rows long, min_lsn long, "
+            "max_lsn long, min_ts long, max_ts long, min_key string, "
+            "max_key string, kind string, spec_n int, epoch int, "
+            "has_key_bloom boolean",
+        )
+
+    def inspect_snapshots(self) -> DataFrame:
+        """Surviving snapshot history as a DataFrame (Iceberg's
+        ``t.snapshots``/``t.history``): version, commit time, branch,
+        parent, watermark, file/row counts. Bounded by retention —
+        expire_snapshots trims it. O(retained versions) metadata
+        reads, no data touched."""
+        rows = []
+        for p in sorted(
+            glob.glob(os.path.join(self.meta_dir, "version-*.json"))
+        ):
+            s = Snapshot.from_json(open(p).read())
+            rows.append(
+                (
+                    s.version,
+                    s.committed_at_ms,
+                    s.branch,
+                    s.parent_version,
+                    s.watermark_lsn,
+                    len(s.files),
+                    sum(f.get("rows", 0) for f in s.files),
+                    s.num_buckets,
+                    s.epoch,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, committed_at_ms long, branch string, "
+            "parent_version int, watermark_lsn long, n_files int, "
+            "n_rows long, num_buckets int, epoch int",
+        )
+
+    def inspect_refs(self) -> DataFrame:
+        """Tags and branches as a DataFrame (Iceberg's ``t.refs``)."""
+        tips = _tips(self._head_snapshot())
+        rows = [("branch", n, int(v)) for n, v in sorted(tips.items())]
+        for tv in sorted(set(tips.values())):
+            for n, v in sorted(self.snapshot(int(tv)).refs.items()):
+                rows.append(("tag", n, int(v)))
+        return self.spark.createDataFrame(
+            list(dict.fromkeys(rows)),
+            "type string, name string, version int",
+        )
+
     # -------------------------------------------------- table statistics --
     def analyze(
         self, columns: Sequence[str] | None = None, exact: bool = False

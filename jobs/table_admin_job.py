@@ -33,6 +33,8 @@ Commands:
                    [--where "p"]          winners (expr sees the old row)
     analyze        [--columns a,b] [--exact]  per-column null/NDV/min/max
                                           stats committed into metadata
+    inspect        --kind files|snapshots|refs  metadata tables (Iceberg
+                                          t.files / t.snapshots / t.refs)
 
 Every command accepts --branch B to operate on branch B instead of main
 (e.g. compact an audit branch before publishing it).
@@ -123,6 +125,13 @@ def parse_args(argv):
     ff = sub.add_parser("fast-forward")
     ff.add_argument("--from", dest="src", required=True,
                     help="branch whose tip to publish onto --branch/main")
+
+    ins = sub.add_parser("inspect")
+    ins.add_argument("--kind", required=True,
+                     choices=["files", "snapshots", "refs"],
+                     help="metadata table to print (Iceberg t.files / "
+                          "t.snapshots / t.refs)")
+    ins.add_argument("--limit", type=int, default=100)
 
     an = sub.add_parser("analyze")
     an.add_argument("--columns", default=None,
@@ -224,6 +233,13 @@ def main(argv=None) -> int:
         out = t.drop_branch(args.name)
     elif args.cmd == "fast-forward":
         out = t.fast_forward(args.src)
+    elif args.cmd == "inspect":
+        df = {
+            "files": t.inspect_files,
+            "snapshots": t.inspect_snapshots,
+            "refs": t.inspect_refs,
+        }[args.kind]()
+        out = {"rows": [r.asDict() for r in df.limit(args.limit).collect()]}
     elif args.cmd == "analyze":
         out = t.analyze(
             columns=args.columns.split(",") if args.columns else None,

@@ -108,6 +108,25 @@ def test_admin_tag_lifecycle(spark, tmp_path, table, capsys):
     assert table.tags() == {}
 
 
+def test_admin_inspect_metadata_tables(spark, tmp_path, table, capsys):
+    """Iceberg t.files / t.snapshots / t.refs as queryable metadata."""
+    p = table.path
+    table.create_tag("cut")
+    table.create_branch("b1")
+    fr = _run(capsys, p, "inspect", "--kind", "files")["rows"]
+    assert len(fr) == len(table.current().files)
+    assert {f["kind"] for f in fr} == {"base"}
+    assert sum(f["rows"] for f in fr) == 20
+    sn = _run(capsys, p, "inspect", "--kind", "snapshots")["rows"]
+    assert [s["version"] for s in sn] == sorted(s["version"] for s in sn)
+    assert sn[-1]["branch"] == "main"
+    assert all(s["committed_at_ms"] > 0 for s in sn)
+    rf = _run(capsys, p, "inspect", "--kind", "refs")["rows"]
+    kinds = {(r["type"], r["name"]) for r in rf}
+    assert ("branch", "main") in kinds and ("branch", "b1") in kinds
+    assert ("tag", "cut") in kinds
+
+
 def test_admin_analyze_commits_stats(spark, tmp_path, table, capsys):
     p = table.path
     out = _run(capsys, p, "analyze", "--exact")
