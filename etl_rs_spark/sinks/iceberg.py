@@ -172,6 +172,50 @@ class IcebergTable:
                 f"ALTER TABLE {self.table} UNSET TBLPROPERTIES ({kv})"
             )
 
+    def _next_lsn(self) -> int:
+        return int(
+            self.spark.sql(
+                f"SELECT coalesce(max(_lsn), -1) + 1 FROM {self.table}"
+            ).first()[0]
+        )
+
+    def delete_where(self, condition: str) -> None:
+        """LakeTable.delete_where twin. NOT a bare ``DELETE FROM`` —
+        that would erase the LWW guard and let an already-replayed
+        binlog event resurrect the row; instead rows become tombstones
+        at max(_lsn)+1, exactly like the LakeTable path (Iceberg's
+        row-level UPDATE does the copy-on-write/MoR mechanics)."""
+        hi = self._next_lsn()
+        self.spark.sql(
+            f"UPDATE {self.table} SET _deleted = true, _lsn = {hi} "
+            f"WHERE ({condition}) AND NOT coalesce(_deleted, false)"
+        )
+
+    def update_where(
+        self, assignments: dict[str, str], condition: str | None = None
+    ) -> None:
+        """LakeTable.update_where twin: assignments applied at
+        max(_lsn)+1 so newer stream events still win."""
+        hi = self._next_lsn()
+        sets = ", ".join(f"{k} = ({v})" for k, v in assignments.items())
+        where = f"({condition}) AND " if condition else ""
+        self.spark.sql(
+            f"UPDATE {self.table} SET {sets}, _lsn = {hi} "
+            f"WHERE {where}NOT coalesce(_deleted, false)"
+        )
+
+    def inspect_files(self) -> DataFrame:
+        """LakeTable.inspect_files twin: Iceberg's files metadata table."""
+        return self.spark.sql(f"SELECT * FROM {self.table}.files")
+
+    def inspect_snapshots(self) -> DataFrame:
+        """LakeTable.inspect_snapshots twin: the snapshots metadata table."""
+        return self.spark.sql(f"SELECT * FROM {self.table}.snapshots")
+
+    def inspect_refs(self) -> DataFrame:
+        """LakeTable.inspect_refs twin: the refs metadata table."""
+        return self.spark.sql(f"SELECT * FROM {self.table}.refs")
+
     def promote(self, winners: DataFrame) -> dict[str, str]:
         """Iceberg-legal in-place type promotion before MERGE (same
         lattice as LakeTable: int->long, float->double, decimal

@@ -226,6 +226,31 @@ def test_tags_pin_and_drop(ice_spark):
     assert "train-cut" not in {r.name for r in refs}
 
 
+def test_row_dml_and_metadata_tables(ice_spark):
+    """delete_where/update_where twins (LWW-preserving tombstone
+    UPDATEs, not bare DELETEs) plus the files/snapshots/refs metadata
+    tables."""
+    t = IcebergTable.create(ice_spark, "lake.db.dml", DDL, num_buckets=4)
+    t.merge(_src(ice_spark, [
+        ("a", 0, "keep", TS, 1, "U"),
+        ("b", 0, "gone", TS, 2, "U"),
+        ("c", 0, "orig", TS, 3, "U"),
+    ]))
+    t.delete_where("conv_id = 'b'")
+    t.update_where({"text": "upper(text)"}, "conv_id = 'c'")
+    got = {r.conv_id: r.text for r in t.read().collect()}
+    assert got == {"a": "keep", "c": "ORIG"}
+    # an older event cannot resurrect the deleted row
+    t.merge(_src(ice_spark, [("b", 0, "zombie", TS, 2, "U")]))
+    assert "b" not in {r.conv_id for r in t.read().collect()}
+    files = t.inspect_files().collect()
+    assert files and all(f.record_count > 0 for f in files)
+    snaps = t.inspect_snapshots().collect()
+    assert len(snaps) >= 3
+    refs = {r.name for r in t.inspect_refs().collect()}
+    assert "main" in refs
+
+
 def test_branch_wap_publish(ice_spark):
     """create_branch/fast_forward twin — the write-audit-publish loop:
     stage a merge on a branch (main invisible), audit it there, then
