@@ -993,6 +993,37 @@ def test_key_bloom_survives_compaction_and_merge(spark, tmp_path):
     assert t.lookup("c08").count() == 2
 
 
+def test_key_bloom_never_false_negative(spark, tmp_path):
+    """The bloom may keep a file it could skip, never skip a file it
+    must keep: every one of 200 present keys must be found through the
+    bloom-pruned lookup path, including keys sharing files and keys
+    landing in every bucket."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        DDL,
+        num_buckets=4,
+        props={"write.key-bloom.bits": 2048},
+    )
+    for lo in (0, 50, 100, 150):  # four appends -> multi-file buckets
+        t.append(
+            spark.range(lo, lo + 50).select(
+                F.sha1(F.col("id").cast("string")).alias("conv_id"),
+                F.lit(0).alias("turn_idx"),
+                F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias(
+                    "ts"
+                ),
+            )
+        )
+    keys = [r.conv_id for r in t.read().select("conv_id").collect()]
+    assert len(keys) == 200
+    found = t.lookup(keys).count()
+    assert found == 200  # no present key may be bloom-skipped
+    # batched lookups across files also exact
+    some = keys[::7]
+    assert t.lookup(some).count() == len(some)
+
+
 def test_parquet_native_bloom_filter_property(spark, tmp_path):
     """write.parquet.bloom-filter-enabled.column.<col> (Iceberg table
     property) plants parquet-native bloom filters: same data written
