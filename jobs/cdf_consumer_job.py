@@ -97,6 +97,9 @@ def pull_increment(src, dst, run_id: str = RUN_ID_DEFAULT) -> dict:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="CDF incremental consumer")
     ap.add_argument("--table", required=True, help="source LakeTable path")
+    ap.add_argument("--branch", default=None,
+                    help="tail this branch's change feed instead of main "
+                         "(e.g. audit a staged ingest before it publishes)")
     ap.add_argument("--downstream", required=True, help="derived LakeTable path")
     ap.add_argument("--run-id", default=RUN_ID_DEFAULT)
     ap.add_argument("--num-buckets", type=int, default=16)
@@ -113,6 +116,8 @@ def main(argv=None) -> int:
 
     spark = get_spark("cdf-consumer")
     src = LakeTable.load(spark, args.table)
+    if args.branch:
+        src = src.on_branch(args.branch)
     dst = ensure_downstream(spark, args.downstream, args.num_buckets)
     while True:
         stats = pull_increment(src, dst, args.run_id)

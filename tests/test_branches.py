@@ -200,6 +200,28 @@ def test_manifest_forward_compat_ignores_unknown_keys(spark, tmp_path):
     assert restored.files == snap.files
 
 
+def test_change_data_feed_on_branch(spark, tmp_path):
+    """changes() on a branch handle feeds the branch's own commits —
+    the audit half of WAP: a consumer can diff exactly what a staged
+    ingest would publish before fast-forwarding it."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    w = _df(spark, 4).withColumn("op", F.lit("U")).withColumn(
+        "lsn", F.col("turn_idx").cast("long")
+    )
+    t.merge(w, run_id="r", batch_id=0)
+    v0 = t.current().version
+    t.create_branch("stage")
+    b = t.on_branch("stage")
+    w2 = spark.createDataFrame(
+        [("zz", 9, __import__("datetime").datetime(2025, 1, 1), 100, "U")],
+        "conv_id string, turn_idx int, ts timestamp, lsn long, op string",
+    )
+    b.merge(w2, run_id="r", batch_id=1)
+    feed = b.changes(v0).toPandas()
+    assert set(feed.conv_id) == {"zz"}  # branch CDF: only staged changes
+    assert t.changes(v0).count() == 0  # main CDF: still quiet
+
+
 def test_concurrent_writers_on_two_branches_all_survive(spark, tmp_path):
     """True-concurrency check for the global-slot + per-branch-parent
     commit protocol: threads race appends onto main AND a branch at
