@@ -674,9 +674,12 @@ class LakeTable:
             except FileNotFoundError:
                 v -= 1
                 continue
-            if s.branch == b or (
-                fork >= 0 and v <= fork and s.branch == "main"
-            ):  # pre-fork main history belongs to the branch's lineage
+            # lineage: committed on this branch in THIS incarnation
+            # (same fork — a recreated branch name must not time-travel
+            # into its previous life), or fork point / pre-fork history
+            if (s.branch == b and (fork < 0 or s.fork_version == fork)) or (
+                fork >= 0 and v <= fork and (v == fork or s.branch == "main")
+            ):
                 return v
             v -= 1
         raise LoadError(
@@ -1729,7 +1732,20 @@ class LakeTable:
         a fixed pipeline) re-applies them cleanly instead of being
         silently skipped. Undone data files stay on disk referenced by
         their version manifests; ``expire_snapshots`` + ``vacuum``
-        reclaim them on the normal schedule."""
+        reclaim them on the normal schedule.
+
+        The target must be an ANCESTOR of this handle's branch tip
+        (Iceberg rollback_to_snapshot rejects non-ancestors). Version
+        slots are global across branches, so "smaller version" is not
+        enough: an interleaved commit from another branch must not be
+        adoptable by rollback — that would silently publish unaudited
+        branch state. Ancestry is checked in O(1) metadata (no manifest
+        walking, robust to expired intermediates) via the same lineage
+        rule ``version_as_of`` uses: the target was committed on this
+        branch IN THIS INCARNATION (same ``fork_version`` — a
+        dropped-then-recreated branch name must not resurrect its
+        previous life's state), or it is the fork point / pre-fork
+        parent-chain history."""
         cur = self.current()
         if version >= cur.version:
             raise LoadError(
@@ -1737,6 +1753,22 @@ class LakeTable:
                 f"current version {cur.version}"
             )
         target = self.snapshot(version)
+        fork = cur.fork_version
+        on_chain = (
+            target.branch == cur.branch
+            and (fork < 0 or target.fork_version == fork)
+        ) or (
+            fork >= 0
+            and version <= fork
+            and (version == fork or target.branch == "main")
+        )
+        if not on_chain:
+            raise LoadError(
+                f"rollback target {version} (committed on branch "
+                f"{target.branch!r}) is not an ancestor of "
+                f"{cur.branch!r}@{cur.version}; targets must be prior "
+                f"commits on this branch or its pre-fork lineage"
+            )
         # derive from the TARGET's state but commit onto THIS branch's
         # tip: parent/branch/fork describe the commit's position in the
         # branch chain, not where its content came from

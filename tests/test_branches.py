@@ -189,6 +189,45 @@ def test_branch_rollback_and_time_travel(spark, tmp_path):
     assert b.version_as_of(ts_good) == b.current().version
 
 
+def test_rollback_rejects_non_ancestor_targets(spark, tmp_path):
+    """Version slots are global across branches, so rollback must check
+    LINEAGE, not just `target < tip`: main must never adopt an
+    interleaved unpublished branch commit (that would bypass the WAP
+    audit), and a dropped-then-recreated branch must never resurrect
+    its previous incarnation's state. Pre-fork parent history remains
+    a legal target for a branch handle."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    t.append(_df(spark, 4))
+    v_main = t.current().version
+    t.create_branch("wip")
+    b = t.on_branch("wip")
+    b.append(_df(spark, 6, base=1800000000))
+    v_branch = b.current().version
+    t.append(_df(spark, 3, base=1900000000))
+
+    # main -> interleaved branch commit: rejected, state untouched
+    with pytest.raises(LoadError, match="not an ancestor"):
+        t.rollback(v_branch)
+    assert t.read().count() == 7
+
+    # branch -> pre-fork main history: legal ancestor
+    b.rollback(v_main)
+    assert b.read().count() == 4
+
+    # recreated branch name must not roll into its previous life
+    t.drop_branch("wip")
+    t.create_branch("wip")
+    b2 = t.on_branch("wip")
+    b2.append(_df(spark, 2, base=1950000000))
+    with pytest.raises(LoadError, match="not an ancestor"):
+        b2.rollback(v_branch)
+    # ...and as-of-timestamp time travel skips the old incarnation too
+    ts_old_tip = b2.snapshot(v_branch).committed_at_ms
+    v = b2.version_as_of(ts_old_tip)
+    assert v != v_branch
+    assert b2.snapshot(v).branch == "main"
+
+
 def test_manifest_forward_compat_ignores_unknown_keys(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
     t.append(_df(spark, 4))
