@@ -443,6 +443,15 @@ class Snapshot:
     #: so the HEAD snapshot's ``branches`` is the authoritative ref
     #: table. Empty = legacy manifest ({"main": HEAD} implied).
     branches: dict = field(default_factory=dict)
+    #: branch name -> INCARNATION id (the version slot of the commit
+    #: that created the ref — globally unique, so a dropped-then-
+    #: recreated name is distinguishable from its previous life even
+    #: when both incarnations fork at the same version). Maintained by
+    #: _commit alongside ``branches``; fast_forward stamps it into
+    #: ``ff_source`` and rejects a publish whose source-branch
+    #: incarnation changed since the recorded publish. Absent on
+    #: legacy manifests ({} -> epoch -1 -> the pre-epoch check applies).
+    branch_epochs: dict = field(default_factory=dict)
     #: which branch this snapshot was committed to ("main" default —
     #: also the correct reading for legacy manifests).
     branch: str = "main"
@@ -525,6 +534,7 @@ class Snapshot:
             epoch_names={e: dict(m) for e, m in self.epoch_names.items()},
             refs=dict(self.refs),
             branches={},  # output field: _commit derives it from HEAD
+            branch_epochs={},  # output field: _commit derives from HEAD
             branch=self.branch,
             parent_version=self.version,
             fork_version=self.fork_version,
@@ -750,10 +760,15 @@ class LakeTable:
             slot = hv + 1
             snap.version = slot
             new_tips = dict(tips)
+            new_epochs = dict(hs.branch_epochs) if hv >= 0 else {}
             for k, v in (branch_edits or {}).items():
                 if v is None:
                     new_tips.pop(k, None)
-                elif v == self._SLOT:
+                    new_epochs.pop(k, None)
+                    continue
+                # ref creation: this commit's slot is the incarnation id
+                new_epochs[k] = slot
+                if v == self._SLOT:
                     # "the slot this very commit takes" — create_branch
                     # forks at its own creation commit so the fork point
                     # IS the committing branch's new tip (anything older
@@ -763,6 +778,7 @@ class LakeTable:
                     new_tips[k] = int(v)
             new_tips[snap.branch] = slot
             snap.branches = new_tips
+            snap.branch_epochs = new_epochs
             if snap.committed_at_ms < 0 or attempt > 0:
                 snap.committed_at_ms = int(time.time() * 1000)
             vpath = os.path.join(self.meta_dir, f"version-{slot:08d}.json")
@@ -1689,11 +1705,24 @@ class LakeTable:
                 f"branch {branch!r} has no commits ahead of "
                 f"{cur.branch!r}; nothing to fast-forward"
             )
-        ancestor = bs.fork_version == cur.version or (
+        # incarnation guard on the repeated-WAP path: the recorded
+        # publish must come from the SAME life of the branch name — a
+        # ref dropped and recreated (possibly behind this tip, from
+        # another branch handle) gets a fresh epoch and must re-qualify
+        # via the fork-point check instead of riding the stale stamp.
+        # 2-element ff_source = pre-epoch manifest: accept as before.
+        epoch_now = self._head_snapshot().branch_epochs.get(branch, -1)
+        ff_same_life = (
             bool(cur.ff_source)
             and cur.ff_source[0] == branch
             and int(cur.ff_source[1]) <= bt
+            and (
+                len(cur.ff_source) < 3
+                or epoch_now < 0
+                or int(cur.ff_source[2]) == epoch_now
+            )
         )
+        ancestor = bs.fork_version == cur.version or ff_same_life
         if not ancestor:
             raise LoadError(
                 f"not fast-forwardable: {cur.branch!r} advanced since "
@@ -1705,7 +1734,7 @@ class LakeTable:
             branch=cur.branch,
             parent_version=cur.version,
             fork_version=cur.fork_version,
-            ff_source=[branch, bt],
+            ff_source=[branch, bt, epoch_now],
         )
         self._commit(new_snap)
         return {

@@ -228,6 +228,47 @@ def test_rollback_rejects_non_ancestor_targets(spark, tmp_path):
     assert b2.snapshot(v).branch == "main"
 
 
+def test_fast_forward_rejects_recreated_branch_incarnation(spark, tmp_path):
+    """The repeated-WAP ancestor path rides the ff_source stamp on the
+    target tip; a branch name dropped and RECREATED BEHIND that tip
+    (from another branch handle, so the target tip stays the stale ff
+    commit) must not qualify — its new incarnation does not contain the
+    published state. Each ref creation gets a unique epoch (the creating
+    commit's slot) and fast_forward requires the stamped epoch to still
+    be the branch's current one; repeated WAP off one long-lived branch
+    keeps its epoch and still publishes."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    t.append(_df(spark, 4))
+    v_early = t.current().version
+    t.create_branch("aux")
+    t.create_branch("wip")
+    b = t.on_branch("wip")
+    b.append(_df(spark, 3, base=1800000000))
+    t.fast_forward("wip")
+    assert t.read().count() == 7
+
+    aux = t.on_branch("aux")
+    aux.drop_branch("wip")
+    aux.create_branch("wip", version=v_early)  # born behind main's tip
+    b2 = t.on_branch("wip")
+    b2.append(_df(spark, 2, base=1900000000))
+    with pytest.raises(LoadError, match="not fast-forwardable"):
+        t.fast_forward("wip")
+    assert t.read().count() == 7  # published state untouched
+
+    # same long-lived branch: second publish still fast-forwards
+    b.append(_df(spark, 2, base=1950000000))
+    t2 = LakeTable.create(spark, str(tmp_path / "t2"), DDL, num_buckets=2)
+    t2.append(_df(spark, 1))
+    t2.create_branch("ingest")
+    g = t2.on_branch("ingest")
+    g.append(_df(spark, 2, base=1800000000))
+    t2.fast_forward("ingest")
+    g.append(_df(spark, 2, base=1900000000))
+    t2.fast_forward("ingest")
+    assert t2.read().count() == 5
+
+
 def test_manifest_forward_compat_ignores_unknown_keys(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
     t.append(_df(spark, 4))
