@@ -191,11 +191,27 @@ class IcebergTable:
             f"WHERE ({condition}) AND NOT coalesce(_deleted, false)"
         )
 
+    #: the composite key and order columns every merge here is keyed on
+    #: (see merge()'s ON / LWW-guard clauses) — assignment targets
+    #: update_where must reject, mirroring LakeTable.update_where
+    KEY_COLS = ("conv_id", "turn_idx")
+    ORDER_COLS = ("ts", "_lsn", "lsn")
+
     def update_where(
         self, assignments: dict[str, str], condition: str | None = None
     ) -> None:
         """LakeTable.update_where twin: assignments applied at
-        max(_lsn)+1 so newer stream events still win."""
+        max(_lsn)+1 so newer stream events still win. Key and order
+        columns are not assignable — updating a key through UPDATE
+        would corrupt LWW row identity (the MERGE keys on them); issue
+        a delete + insert through the change stream instead. Same
+        contract as LakeTable.update_where."""
+        bad = set(assignments) & (set(self.KEY_COLS) | set(self.ORDER_COLS))
+        if bad:
+            raise LoadError(
+                f"cannot UPDATE key/order columns {sorted(bad)}; delete "
+                f"and re-insert through the change stream instead"
+            )
         hi = self._next_lsn()
         sets = ", ".join(f"{k} = ({v})" for k, v in assignments.items())
         where = f"({condition}) AND " if condition else ""

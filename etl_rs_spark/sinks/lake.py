@@ -663,19 +663,45 @@ class LakeTable:
         binary search over the version files needs O(log versions)
         metadata reads; with branching, a short downward walk then
         skips any interleaved other-branch commits (O(interleave), each
-        one metadata read — no data touched)."""
+        one metadata read — no data touched).
+
+        The bisection runs over the sorted list of version files that
+        actually EXIST (not the dense [0, tip] range), so holes left by
+        ``expire_snapshots`` can never crash it — the same robustness
+        the downward lineage walk already has. A file expiring between
+        the listing and the read is skipped the same way."""
         tip = self.current()
-        lo, hi = 0, tip.version
-        if self.snapshot(lo).committed_at_ms > ts_ms:
+        versions = sorted(
+            v
+            for v in (
+                int(p.split("version-")[1].split(".")[0])
+                for p in glob.glob(
+                    os.path.join(self.meta_dir, "version-*.json")
+                )
+            )
+            if v <= tip.version
+        )
+
+        def _committed_at(idx: int) -> int:
+            try:
+                return self.snapshot(versions[idx]).committed_at_ms
+            except FileNotFoundError:
+                # expired between listing and read: treat as "too new"
+                # so the search keeps moving left toward survivors
+                return ts_ms + 1
+
+        lo, hi = 0, len(versions) - 1
+        if hi < 0 or _committed_at(0) > ts_ms:
             raise LoadError(
                 f"no snapshot at or before ts {ts_ms} (table created later)"
             )
         while lo < hi:
             mid = (lo + hi + 1) // 2
-            if self.snapshot(mid).committed_at_ms <= ts_ms:
+            if _committed_at(mid) <= ts_ms:
                 lo = mid
             else:
                 hi = mid - 1
+        lo = versions[lo]
         b, fork = tip.branch, tip.fork_version
         v = lo
         while v >= 0:
@@ -2486,6 +2512,27 @@ class LakeTable:
                 p = _promote_type(cur_f.dataType, f.dataType)
                 if p is not None:
                     promotions[f.name] = p
+        # the BUCKET column's type is load-bearing for every hash in the
+        # table: bucket routing (bucket_expr), manifest key blooms, and
+        # lookup()'s probe all use Spark xxhash64, which hashes int and
+        # long (or float and double) DIFFERENTLY — a promoted bucket
+        # column would route the same key to a different bucket than its
+        # pre-promotion files and make blooms/bounds silently reject
+        # probe hashes (false-negative lookups, split LWW identity).
+        # Promotion of the bucket column is therefore rejected outright;
+        # migrate by casting upstream and rewriting through overwrite()
+        # (Iceberg has the identical constraint: bucket transform hashes
+        # are type-specific, so a bucket-partition source column cannot
+        # be promoted in place).
+        if snap.bucket_col in promotions:
+            raise LoadError(
+                f"cannot promote bucket column {snap.bucket_col!r} "
+                f"in place: bucket hashing (xxhash64) is type-sensitive, "
+                f"so existing files' bucket ids, key bounds and blooms "
+                f"would no longer match the promoted type; cast the "
+                f"stream to the table type upstream, or migrate via a "
+                f"full overwrite() under the widened schema"
+            )
         if promotions:
             schema = T.StructType(
                 [

@@ -183,6 +183,46 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert src.extract(spark).count() == 10
 
 
+def test_timestamp_time_travel_survives_expired_intermediates(
+    spark, tmp_path
+):
+    """version_as_of bisects over the version files that actually EXIST,
+    so snapshots expired out of the middle of the history cannot crash
+    (or mis-resolve) timestamp time travel — the robustness the
+    downward lineage walk already had, now shared by the search."""
+    import time as _time
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=4)
+    stamps = []
+    for i in range(6):
+        t.append(_df(spark, 5 * (i + 1)))
+        stamps.append(t.current().committed_at_ms)
+        _time.sleep(0.01)
+    # pin an EARLY version with a tag so expiry leaves a hole in the
+    # middle of the history (tagged v1 survives, v2..v4 expire)
+    early = 1
+    t.create_tag("early", early)
+    t.expire_snapshots(keep_last=2)
+    import glob as _glob
+    import os as _os
+
+    survivors = sorted(
+        int(p.split("version-")[1].split(".")[0])
+        for p in _glob.glob(_os.path.join(t.meta_dir, "version-*.json"))
+    )
+    assert early in survivors and 3 not in survivors
+    # an instant inside the expired window resolves to the newest
+    # SURVIVING snapshot at or before it (no FileNotFoundError)
+    mid_ts = stamps[2]
+    v = t.version_as_of(mid_ts)
+    assert v in survivors and t.snapshot(v).committed_at_ms <= mid_ts
+    # instants at/after the tip still resolve to the tip
+    assert t.version_as_of(stamps[-1] + 10_000) == t.current().version
+    # an instant before every survivor raises cleanly
+    with pytest.raises(LoadError):
+        t.version_as_of(stamps[0] - 1_000_000)
+
+
 def test_manifest_stays_bounded_after_compaction(spark, tmp_path):
     """The manifest files list is the driver-side scaling risk: after
     compact() it must be O(num_buckets) regardless of how many commits
@@ -697,6 +737,54 @@ def test_merge_promotes_column_types_in_place(spark, tmp_path):
     sch = {f.name: f.dataType.simpleString() for f in t.current().schema().fields}
     assert sch["score"] == "bigint" and sch["ratio"] == "double"
     assert t.read().where(F.col("k") == "k3").collect()[0]["score"] == 3
+
+
+def test_bucket_column_promotion_rejected(spark, tmp_path):
+    """Promoting the BUCKET column's type in place is rejected: Spark's
+    xxhash64 hashes int and long differently, so a promoted bucket
+    column would route keys away from their pre-promotion files and
+    make manifest key blooms / min-max bounds silently false-negative
+    (lookup() dropping rows). The merge must fail loudly instead; a
+    pre-promotion key stays retrievable afterwards."""
+    ts = __import__("datetime").datetime(2024, 1, 1)
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        "k int, v string, ts timestamp",
+        key_cols=("k",),
+        order_cols=("ts", "lsn"),
+        bucket_col="k",
+        num_buckets=4,
+        props={"write.key-bloom.bits": 4096},
+    )
+    first = spark.range(20).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        F.lit(ts).alias("ts"),
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+    )
+    t.merge(first, run_id="r", batch_id=0)
+
+    widened = spark.createDataFrame(
+        [(2**40, "wide", ts, 100, "I")],
+        "k long, v string, ts timestamp, lsn long, op string",
+    )
+    with pytest.raises(LoadError, match="bucket column"):
+        t.merge(widened, run_id="r", batch_id=1)
+    # schema unchanged, pre-promotion keys still found via the pruned
+    # (bounds + bloom) lookup path
+    sch = {f.name: f.dataType.simpleString() for f in t.current().schema().fields}
+    assert sch["k"] == "int"
+    assert [r["v"] for r in t.lookup(7).collect()] == ["v7"]
+    # the documented migration path — cast the key to the table type
+    # upstream — works (key value back in int range)
+    ok = spark.createDataFrame(
+        [(777, "wide", ts, 100, "I")],
+        "k int, v string, ts timestamp, lsn long, op string",
+    )
+    assert t.merge(ok, run_id="r", batch_id=1)["skipped"] is False
+    assert [r["v"] for r in t.lookup(777).collect()] == ["wide"]
 
 
 def test_changes_across_promotion_window(spark, tmp_path):
