@@ -73,6 +73,17 @@ from etl_rs_spark.errors import LoadError
 
 LSN_COL = "_lsn"
 DELETED_COL = "_deleted"
+#: hidden sub-LSN tie-break tier: full LWW order is (ts, _lsn, _sub).
+#: Stream-merge rows persist _sub=1; out-of-band row DML
+#: (delete_where/update_where, stamped at lsn = watermark+1 — an LSN
+#: the SOURCE may still legitimately produce) persists _sub=0. So a
+#: genuine binlog event that later arrives carrying that exact
+#: (ts, lsn) beats the stored DML row instead of being silently
+#: dropped as idempotent replay, while true replays (stored stream row
+#: vs the same stream event, both _sub=1) still tie and no-op. Legacy
+#: files without the column read as NULL and are coalesced to 0 —
+#: retroactively the same "loses ties to the stream" rule.
+SUB_COL = "_sub"
 _BUCKET = "__b"
 _OP = "op"
 
@@ -284,12 +295,14 @@ def _promote_type(
 
 
 def _with_meta_cols(schema: T.StructType) -> T.StructType:
-    """User schema + hidden (_lsn, _deleted) — fresh object, no mutation."""
+    """User schema + hidden (_lsn, _deleted, _sub) — fresh object, no
+    mutation. Files written before the _sub tier read it as NULL."""
     return T.StructType(
         list(schema.fields)
         + [
             T.StructField(LSN_COL, T.LongType()),
             T.StructField(DELETED_COL, T.BooleanType()),
+            T.StructField(SUB_COL, T.IntegerType()),
         ]
     )
 
@@ -368,17 +381,32 @@ def _lww_resolve(
     deleted key must still lose — but their user payload is nulled,
     the same representation the copy-on-write path persists."""
     payload = [c for c in df.columns if c not in key_cols]
-    ordered = [ts_col, LSN_COL] + [
-        c for c in payload if c not in (ts_col, LSN_COL)
+    # order tiers: (ts, _lsn, _sub) — see SUB_COL. Legacy NULL _sub
+    # coalesces to 0 so ties resolve deterministically (stream rows,
+    # _sub=1, beat stored row-DML rows, _sub=0, at equal (ts, lsn)).
+    order_exprs = [F.col(ts_col), F.col(LSN_COL)]
+    if SUB_COL in df.columns:
+        order_exprs.append(
+            F.coalesce(F.col(SUB_COL), F.lit(0)).alias(SUB_COL)
+        )
+    rest = [
+        c for c in payload if c not in (ts_col, LSN_COL, SUB_COL)
     ]
     merged = df.groupBy(*key_cols).agg(
-        F.max(F.struct(*[F.col(c) for c in ordered])).alias("__w")
+        F.max(
+            F.struct(*order_exprs, *[F.col(c) for c in rest])
+        ).alias("__w")
     )
     final = merged.select(
-        *key_cols, *[F.col(f"__w.{c}").alias(c) for c in payload]
+        *key_cols,
+        *[
+            F.col(f"__w.{c}").alias(c)
+            for c in payload
+            if c != SUB_COL or SUB_COL in df.columns
+        ],
     )
     for c in payload:
-        if c in (ts_col, LSN_COL, DELETED_COL):
+        if c in (ts_col, LSN_COL, DELETED_COL, SUB_COL):
             continue
         final = final.withColumn(
             c,
@@ -400,8 +428,25 @@ class Snapshot:
     #: {path, bucket, rows, min_lsn, max_lsn[, kind]} — the LSN range is
     #: the per-file stat that lets changes() prune below-watermark
     #: files; kind is "delta" for merge-on-read delta files (absent =
-    #: base file holding resolved one-row-per-key state)
+    #: base file holding resolved one-row-per-key state).
+    #:
+    #: PERSISTENCE IS SHARDED (Iceberg's manifest-list layout): the
+    #: snapshot JSON does NOT carry this list — it carries
+    #: ``manifest_list`` below, and the entries live in per-
+    #: (spec, bucket) manifest files under meta/manifests/. A commit
+    #: rewrites only the manifests of TOUCHED groups and reuses the
+    #: parent's pointers for the rest, so commit metadata bytes are
+    #: O(touched buckets), not O(table files) — per-file key blooms
+    #: ride in the bucket manifest they describe. In memory the full
+    #: list hydrates lazily on first ``.files`` access (see
+    #: ``__getattr__``); legacy manifests with an inline ``files``
+    #: array keep reading unchanged.
     files: list[dict[str, Any]] = field(default_factory=list)
+    #: [{path, group, n_files, rows, min_lsn, max_lsn, spec_n, bucket}]
+    #: — one entry per live manifest file (relative to meta/). The
+    #: summary stats let readers prune whole manifests (bucket/LSN)
+    #: before loading any per-file entry.
+    manifest_list: list = field(default_factory=list)
     applied: dict[str, int] = field(default_factory=dict)  # run_id -> max batch
     watermark_lsn: int = -1
     props: dict[str, Any] = field(default_factory=dict)
@@ -411,14 +456,22 @@ class Snapshot:
     #: /root/reference/src/extract/delta.rs:104-109; here it resolves).
     committed_at_ms: int = -1
     #: [[version, watermark_lsn]] at every commit that ADVANCED the
-    #: watermark, carried forward whole in each snapshot (seeded
-    #: [[0, -1]] at create). changes(with_version=True) attributes rows
-    #: from the to-snapshot's history alone: O(1) driver metadata reads
-    #: for any window, robust to expire_snapshots removing intermediate
-    #: version files. Grows O(merge-commits) — the same order as the
-    #: meta dir itself. Empty = legacy manifest (fall back to walking
-    #: surviving version files).
+    #: watermark (seeded [[0, -1]] at create). changes(with_version=
+    #: True) attributes rows from the to-snapshot's history alone:
+    #: O(1) driver metadata reads for any window, robust to
+    #: expire_snapshots removing intermediate version files. Empty =
+    #: legacy manifest (fall back to walking surviving version files).
+    #:
+    #: SEGMENTED: only the recent TAIL rides in the snapshot; once the
+    #: tail exceeds _WM_SEGMENT_ROWS entries, _commit rolls it into an
+    #: immutable segment file under meta/manifests/ and appends its
+    #: path to ``wm_segments`` — so per-snapshot metadata stays O(1)
+    #: amortized over the table's life instead of O(commits). Readers
+    #: needing the full line use LakeTable._full_wm_history().
     wm_history: list = field(default_factory=list)
+    #: ordered immutable segment files (relative to meta/), each
+    #: holding an older chunk of the watermark history line.
+    wm_segments: list = field(default_factory=list)
     #: Iceberg-style stable column identity (spec: Schema Evolution):
     #: current column name -> field id. A column's id never changes
     #: across renames; a dropped-then-readded name gets a FRESH id, so
@@ -498,7 +551,24 @@ class Snapshot:
         return T.StructType.fromJson(json.loads(self.schema_json))
 
     def to_json(self) -> str:
-        return json.dumps(self.__dict__, indent=1)
+        d = {
+            k: v for k, v in self.__dict__.items() if not k.startswith("_")
+        }
+        if d.get("manifest_list"):
+            # sharded persistence: file entries live in the manifests
+            d.pop("files", None)
+        return json.dumps(d, indent=1)
+
+    def __getattr__(self, name: str) -> Any:
+        # lazy manifest hydration: LakeTable.snapshot() removes the
+        # eagerly-initialized empty ``files`` and installs _files_loader;
+        # the first .files access materializes (and caches) the list.
+        if name == "files":
+            loader = self.__dict__.get("_files_loader")
+            if loader is not None:
+                object.__setattr__(self, "files", loader())
+                return self.__dict__["files"]
+        raise AttributeError(name)
 
     @classmethod
     def from_json(cls, s: str) -> "Snapshot":
@@ -508,7 +578,23 @@ class Snapshot:
         # it is what lets a mixed-version executor fleet roll forward
         d = json.loads(s)
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        snap = cls(**{k: v for k, v in d.items() if k in known})
+        if snap.manifest_list and not snap.__dict__.get("files"):
+            # sharded snapshot: entries live in manifest files. Install
+            # a fail-loud placeholder; LakeTable.snapshot() (which knows
+            # meta_dir) swaps in the real loader. A bare from_json
+            # consumer touching .files errors instead of silently
+            # reading an empty table.
+            snap.__dict__.pop("files", None)
+
+            def _no_ctx() -> list:
+                raise LoadError(
+                    "sharded snapshot: file entries live in manifest "
+                    "files; load via LakeTable.snapshot()"
+                )
+
+            snap.__dict__["_files_loader"] = _no_ctx
+        return snap
 
     def child(self, **overrides: Any) -> "Snapshot":
         """Successor snapshot: version+1 with deep-copied mutable
@@ -522,12 +608,13 @@ class Snapshot:
             order_cols=list(self.order_cols),
             bucket_col=self.bucket_col,
             num_buckets=self.num_buckets,
-            files=list(self.files),
+            manifest_list=[],  # output field: _commit re-shards
             applied=dict(self.applied),
             watermark_lsn=self.watermark_lsn,
             props=dict(self.props),
             committed_at_ms=-1,
             wm_history=[list(x) for x in self.wm_history],
+            wm_segments=list(self.wm_segments),
             field_ids=dict(self.field_ids),
             next_field_id=self.next_field_id,
             epoch=self.epoch,
@@ -542,6 +629,22 @@ class Snapshot:
             stats={k: v for k, v in self.stats.items()},
         )
         base.update(overrides)
+        # metadata-only children (no files override, parent still lazy)
+        # carry the parent's manifest pointers WITHOUT hydrating — a
+        # tag/props/branch commit on a million-file table reads and
+        # writes zero manifest bytes.
+        if (
+            "files" not in base
+            and "files" not in self.__dict__
+            and self.__dict__.get("_files_loader") is not None
+        ):
+            base["manifest_list"] = [dict(m) for m in self.manifest_list]
+            child = Snapshot(**base)
+            child.__dict__.pop("files", None)
+            child.__dict__["_files_loader"] = self.__dict__["_files_loader"]
+            return child
+        if "files" not in base:
+            base["files"] = list(self.files)
         return Snapshot(**base)
 
 
@@ -654,7 +757,27 @@ class LakeTable:
 
     def snapshot(self, version: int) -> Snapshot:
         with open(os.path.join(self.meta_dir, f"version-{version:08d}.json")) as f:
-            return Snapshot.from_json(f.read())
+            snap = Snapshot.from_json(f.read())
+        self._attach_files_loader(snap)
+        return snap
+
+    def _attach_files_loader(self, snap: Snapshot) -> None:
+        """Install lazy hydration for a sharded snapshot: .files loads
+        every manifest on first access; entries are stamped with their
+        source manifest (``_mf``/``_mfn``) so the next _commit can
+        reuse untouched groups' manifests verbatim."""
+        if not snap.manifest_list or snap.__dict__.get("files"):
+            return
+        meta_dir, mlist = self.meta_dir, snap.manifest_list
+
+        def _load() -> list[dict[str, Any]]:
+            out: list[dict[str, Any]] = []
+            for m in mlist:
+                out.extend(_load_manifest(meta_dir, m["path"]))
+            return out
+
+        snap.__dict__.pop("files", None)
+        snap.__dict__["_files_loader"] = _load
 
     def version_as_of(self, ts_ms: int) -> int:
         """Latest committed version ON THIS HANDLE'S BRANCH with
@@ -956,6 +1079,7 @@ class LakeTable:
         meta_fields = [
             T.StructField(LSN_COL, T.LongType(), True),
             T.StructField(DELETED_COL, T.BooleanType(), True),
+            T.StructField(SUB_COL, T.IntegerType(), True),
         ]
         parts: list[DataFrame] = []
         for e in sorted(by_epoch):
@@ -981,7 +1105,11 @@ class LakeTable:
             df = self.spark.read.schema(
                 T.StructType(read_fields + meta_fields)
             ).parquet(*[f["path"] for f in by_epoch[e]])
-            parts.append(df.select(*sel, F.col(LSN_COL), F.col(DELETED_COL)))
+            parts.append(
+                df.select(
+                    *sel, F.col(LSN_COL), F.col(DELETED_COL), F.col(SUB_COL)
+                )
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -1126,7 +1254,7 @@ class LakeTable:
         # must keep its (ts, lsn) so a late, older cross-batch event for
         # the same key cannot resurrect the row.
         return df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(
-            LSN_COL, DELETED_COL
+            LSN_COL, DELETED_COL, SUB_COL
         )
 
     # --------------------------------------------------- point lookup --
@@ -1378,9 +1506,14 @@ class LakeTable:
         interplay — a binlog event already below the watermark can
         never resurrect the row, while a genuinely NEWER event
         (higher (ts, lsn)) still wins, which is exactly CDC delete
-        semantics. ``condition`` is a Column or a SQL string over the
-        table's columns. Physical removal of the tombstoned payload
-        follows at ``compact(tombstone_lsn_horizon=...)``."""
+        semantics. The borrowed ``watermark + 1`` is an LSN the source
+        may still legitimately produce, so DML rows persist the hidden
+        sub-LSN tier at 0 (stream rows carry 1): a genuine event later
+        arriving at exactly (ts, watermark+1) beats the stored DML row
+        instead of tying and being dropped as replay. ``condition`` is
+        a Column or a SQL string over the table's columns. Physical
+        removal of the tombstoned payload follows at
+        ``compact(tombstone_lsn_horizon=...)``."""
         snap = self.current()
         cond = F.expr(condition) if isinstance(condition, str) else condition
         lsn_name = snap.order_cols[-1]
@@ -1390,7 +1523,7 @@ class LakeTable:
             .withColumn("op", F.lit("D"))
             .withColumn(lsn_name, F.lit(snap.watermark_lsn + 1))
         )
-        res = self.merge(winners, lsn_col=lsn_name)
+        res = self.merge(winners, lsn_col=lsn_name, sub_lsn=0)
         return {**res, "dml": "delete"}
 
     def update_where(
@@ -1429,7 +1562,7 @@ class LakeTable:
             .withColumn("op", F.lit("U"))
             .withColumn(lsn_name, F.lit(snap.watermark_lsn + 1))
         )
-        res = self.merge(winners, lsn_col=lsn_name)
+        res = self.merge(winners, lsn_col=lsn_name, sub_lsn=0)
         return {**res, "dml": "update"}
 
     # ------------------------------------------------- schema evolution --
@@ -1451,7 +1584,7 @@ class LakeTable:
             raise LoadError(f"no such column {old!r}")
         if new in names:
             raise LoadError(f"column {new!r} already exists")
-        if new in (LSN_COL, DELETED_COL, _BUCKET):
+        if new in (LSN_COL, DELETED_COL, SUB_COL, _BUCKET):
             raise LoadError(f"{new!r} is a reserved name")
         fields = [
             T.StructField(new if f.name == old else f.name, f.dataType,
@@ -1522,7 +1655,7 @@ class LakeTable:
         names = [f.name for f in snap.schema().fields]
         if name in names:
             raise LoadError(f"column {name!r} already exists")
-        if name in (LSN_COL, DELETED_COL, _BUCKET):
+        if name in (LSN_COL, DELETED_COL, SUB_COL, _BUCKET):
             raise LoadError(f"{name!r} is a reserved name")
         field_ids = dict(snap.field_ids)
         field_ids[name] = snap.next_field_id
@@ -1937,7 +2070,11 @@ class LakeTable:
                 resolved.where(F.col(LSN_COL) > wm).select(*df.columns)
             )
         cols = [
-            *[c for c in df.columns if c not in (LSN_COL, DELETED_COL)],
+            *[
+                c
+                for c in df.columns
+                if c not in (LSN_COL, DELETED_COL, SUB_COL)
+            ],
             F.when(
                 F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("delete")
             )
@@ -2277,7 +2414,10 @@ class LakeTable:
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None).cast(types[c]))
         return df.select(
-            *cols, lsn.alias(LSN_COL), F.lit(False).alias(DELETED_COL)
+            *cols,
+            lsn.alias(LSN_COL),
+            F.lit(False).alias(DELETED_COL),
+            F.lit(0).cast("int").alias(SUB_COL),
         )
 
     # ------------------------------------------------------ maintenance --
@@ -2434,6 +2574,7 @@ class LakeTable:
         write_partitions: int | None = None,
         batch_stats: dict[str, Any] | None = None,
         mode: str | None = None,
+        sub_lsn: int = 1,
     ) -> dict[str, Any]:
         """Key-partitioned LWW MERGE (the real version of the reference's
         stubbed write_merge, /root/reference/src/load/delta.rs:255-267).
@@ -2473,6 +2614,12 @@ class LakeTable:
         pass over the batch (the write job). Counts may be upstream
         *event* counts rather than winner counts — they only steer the
         skew-aware write plan, where an overestimate is safe.
+
+        ``sub_lsn``: the hidden tie-break tier persisted on incoming
+        rows (see SUB_COL). Stream merges keep the default 1; row DML
+        (delete_where/update_where) passes 0, so a genuine binlog event
+        later arriving with the DML's borrowed (ts, lsn) coordinates
+        wins instead of being dropped as idempotent replay.
         """
         t0 = time.monotonic()
         snap = self.current()
@@ -2626,7 +2773,9 @@ class LakeTable:
         # per-epoch physical-name translation for pre-rename files
         cur = self._scan_files(snap, cur_files, schema=schema)
 
-        def norm(df: DataFrame, lsn: F.Column, deleted: F.Column) -> DataFrame:
+        def norm(
+            df: DataFrame, lsn: F.Column, deleted: F.Column, sub: F.Column
+        ) -> DataFrame:
             sel = []
             for c in table_cols:
                 sel.append(
@@ -2636,10 +2785,18 @@ class LakeTable:
                 *sel,
                 lsn.cast("long").alias(LSN_COL),
                 deleted.cast("boolean").alias(DELETED_COL),
+                sub.cast("int").alias(SUB_COL),
             )
 
-        existing = norm(cur, F.col(LSN_COL), F.coalesce(F.col(DELETED_COL), F.lit(False)))
-        incoming = norm(src, F.col(lsn_col), F.col(op_col) == "D")
+        existing = norm(
+            cur,
+            F.col(LSN_COL),
+            F.coalesce(F.col(DELETED_COL), F.lit(False)),
+            F.coalesce(F.col(SUB_COL), F.lit(0)),
+        )
+        incoming = norm(
+            src, F.col(lsn_col), F.col(op_col) == "D", F.lit(int(sub_lsn))
+        )
         _bexpr = bucket_expr(snap.bucket_col, snap.num_buckets)
 
         t_write = time.monotonic()

@@ -1175,6 +1175,66 @@ def test_delete_where_tombstones_through_merge(spark, tmp_path):
     assert t.read().where("conv_id = 'c1'").count() == 1
 
 
+def test_dml_lsn_tie_loses_to_genuine_stream_event(spark, tmp_path):
+    """delete_where/update_where borrow lsn = watermark + 1, an LSN the
+    SOURCE can still legitimately produce. A genuine binlog event later
+    arriving with exactly that (ts, lsn) must WIN over the stored DML
+    row — not tie on (ts, lsn) and get dropped as idempotent replay.
+    The hidden sub-LSN tier (stream=1 > DML=0) breaks the tie; true
+    replays of the same stream event still tie and no-op."""
+    import datetime as dt
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=4)
+    ts0 = dt.datetime(2024, 6, 1, 12, 0, 0)  # coarse shared timestamp
+    src = spark.createDataFrame(
+        [("c1", 1, ts0, 10, "I"), ("c2", 1, ts0, 9, "I")],
+        "conv_id string, turn_idx int, ts timestamp, lsn long, op string",
+    )
+    t.merge(src, run_id="r", batch_id=0)
+    wm = t.current().watermark_lsn
+    assert wm == 10
+
+    # DML tombstones (c1,1) at (stored ts0, lsn wm+1 = 11)
+    t.delete_where("conv_id = 'c1'")
+    assert t.read().where("conv_id = 'c1'").count() == 0
+
+    # the source now genuinely emits lsn 11 for the same key at the
+    # SAME coarse ts — exact (ts, lsn) collision with the DML row
+    ev = spark.createDataFrame(
+        [("c1", 1, ts0, 11, "I")],
+        "conv_id string, turn_idx int, ts timestamp, lsn long, op string",
+    )
+    t.merge(ev)
+    assert t.read().where("conv_id = 'c1'").count() == 1  # event won
+
+    # replaying that SAME event is still an idempotent no-op
+    v = t.current().version
+    t.merge(ev)
+    assert t.read().where("conv_id = 'c1'").count() == 1
+    # ...and the update_where flavor behaves the same way
+    t2 = LakeTable.create(
+        spark,
+        str(tmp_path / "t2"),
+        "conv_id string, turn_idx int, text string, ts timestamp",
+        num_buckets=4,
+    )
+    src2 = spark.createDataFrame(
+        [("c1", 1, "orig", ts0, 10, "I")],
+        "conv_id string, turn_idx int, text string, ts timestamp,"
+        " lsn long, op string",
+    )
+    t2.merge(src2, run_id="r", batch_id=0)
+    t2.update_where({"text": "'redacted'"}, "conv_id = 'c1'")
+    assert t2.read().collect()[0].text == "redacted"
+    ev2 = spark.createDataFrame(
+        [("c1", 1, "fresh", ts0, 11, "U")],
+        "conv_id string, turn_idx int, text string, ts timestamp,"
+        " lsn long, op string",
+    )
+    t2.merge(ev2)
+    assert t2.read().collect()[0].text == "fresh"
+
+
 def test_update_where_rewrites_matching_rows(spark, tmp_path):
     ddl = "conv_id string, turn_idx int, text string, ts timestamp"
     t = LakeTable.create(spark, str(tmp_path / "t"), ddl, num_buckets=4)
