@@ -307,6 +307,30 @@ def _with_meta_cols(schema: T.StructType) -> T.StructType:
     )
 
 
+def _group_key(f: dict[str, Any], snap: "Snapshot") -> str:
+    """Manifest group a file entry belongs to: its write-time
+    (spec, bucket). Both fields are immutable per entry, so a file's
+    group never changes across commits — which is what lets _commit
+    reuse untouched groups' manifest files verbatim."""
+    return (
+        f"s{int(f.get('spec_n', snap.num_buckets))}"
+        f"-b{int(f.get('bucket', -1))}"
+    )
+
+
+def _load_manifest(meta_dir: str, relpath: str) -> list[dict[str, Any]]:
+    """Load one manifest file's entries, stamping each with its source
+    manifest (``_mf``) and that manifest's entry count (``_mfn``) — the
+    provenance _commit's reuse check keys on. Transient keys, never
+    serialized."""
+    with open(os.path.join(meta_dir, relpath)) as fh:
+        ents = json.load(fh)["files"]
+    for e in ents:
+        e["_mf"] = relpath
+        e["_mfn"] = len(ents)
+    return ents
+
+
 def _file_spec(f: dict[str, Any], snap: "Snapshot") -> int:
     """Bucket-spec (num_buckets) a data file was written under. Files
     predating spec evolution are stamped at evolution time
@@ -505,6 +529,14 @@ class Snapshot:
     #: incarnation changed since the recorded publish. Absent on
     #: legacy manifests ({} -> epoch -1 -> the pre-epoch check applies).
     branch_epochs: dict = field(default_factory=dict)
+    #: per-ref retention (Iceberg's ``max-ref-age-ms`` ref property):
+    #: "branch:<name>" / "tag:<name>" -> max age in ms, measured from
+    #: the commit time of the snapshot the ref points to. Maintained
+    #: GLOBALLY by _commit (like ``branches``), edited through
+    #: create_branch/create_tag(max_age_ms=...) and purged on ref drop.
+    #: expire_snapshots drops aged refs before computing what to keep,
+    #: so a forgotten audit branch stops pinning history forever.
+    ref_retention: dict = field(default_factory=dict)
     #: which branch this snapshot was committed to ("main" default —
     #: also the correct reading for legacy manifests).
     branch: str = "main"
@@ -622,6 +654,7 @@ class Snapshot:
             refs=dict(self.refs),
             branches={},  # output field: _commit derives it from HEAD
             branch_epochs={},  # output field: _commit derives from HEAD
+            ref_retention={},  # output field: _commit derives from HEAD
             branch=self.branch,
             parent_version=self.version,
             fork_version=self.fork_version,
@@ -852,6 +885,223 @@ class LakeTable:
 
     #: branch_edits sentinel: "point the ref at this commit's own slot"
     _SLOT: int = -2
+    #: wm_history tail entries kept inline per snapshot before rolling
+    #: into an immutable segment file
+    _WM_SEGMENT_ROWS: int = 256
+
+    def _shard_manifests(self, snap: Snapshot) -> None:
+        """Iceberg-style manifest sharding: group ``snap.files`` by
+        (write-spec, bucket), write ONE manifest file per group that
+        changed since the parent snapshot, and reuse the parent's
+        manifest path for every untouched group. The snapshot JSON then
+        carries only the manifest list (O(groups) summaries), so commit
+        metadata bytes are O(touched buckets) — per-file key-bloom
+        bitmaps live in the bucket manifest they describe, not in every
+        snapshot.
+
+        Reuse detection is provenance-based: hydration stamps each
+        entry with its source manifest (``_mf``) and that manifest's
+        entry count (``_mfn``). A group is byte-identical to a parent
+        manifest iff every entry came from that one manifest and none
+        of its entries were dropped (count match) — code that MUTATES a
+        committed entry must copy it without the ``_``-keys (see
+        set_num_buckets), which forces the rewrite."""
+        edits = snap.__dict__.pop("_group_edits", None)
+        lazy = (
+            "files" not in snap.__dict__
+            and snap.__dict__.get("_files_loader") is not None
+        )
+        if lazy and edits is None:
+            # metadata-only child: parent pointers carried verbatim —
+            # zero manifest bytes read or written
+            snap.__dict__["_manifests_written"] = 0
+            return
+        written = 0
+        if lazy:
+            # group-edit commit (merge's path): parent manifests are
+            # reused for every group not named in ``edits``; edited
+            # groups get one fresh manifest each (or disappear when
+            # emptied). The parent's entries are never hydrated.
+            mlist = [
+                dict(m)
+                for m in snap.manifest_list
+                if m["group"] not in edits
+            ]
+            for gk in sorted(edits):
+                ents = edits[gk]
+                if not ents:
+                    continue  # group emptied: no manifest
+                mlist.append(self._write_manifest(gk, ents))
+                written += 1
+            mlist.sort(key=lambda m: m["group"])
+            snap.manifest_list = mlist
+            meta_dir = self.meta_dir
+
+            def _load() -> list[dict[str, Any]]:
+                out: list[dict[str, Any]] = []
+                for m in mlist:
+                    out.extend(_load_manifest(meta_dir, m["path"]))
+                return out
+
+            snap.__dict__["_files_loader"] = _load
+            snap.__dict__["_manifests_written"] = written
+            return
+        groups: dict[str, list[dict[str, Any]]] = {}
+        for f in snap.files:
+            groups.setdefault(_group_key(f, snap), []).append(f)
+        mlist = []
+        for gk in sorted(groups):
+            ents = groups[gk]
+            srcs = {e.get("_mf") for e in ents}
+            src = next(iter(srcs)) if len(srcs) == 1 else None
+            if src is not None and all(
+                e.get("_mfn") == len(ents) for e in ents
+            ):
+                # untouched group: reuse parent manifest
+                mlist.append(self._manifest_summary(gk, src, ents))
+            else:
+                mlist.append(self._write_manifest(gk, ents))
+                written += 1
+        snap.manifest_list = mlist
+        snap.__dict__["_manifests_written"] = written
+
+    def _write_manifest(
+        self, gk: str, ents: list[dict[str, Any]]
+    ) -> dict[str, Any]:
+        """Write one group's manifest file (atomic) and return its
+        manifest-list summary; restamps the in-memory entries'
+        provenance so a later same-process commit can reuse it."""
+        mdir = os.path.join(self.meta_dir, "manifests")
+        os.makedirs(mdir, exist_ok=True)
+        name = f"mf-{uuid.uuid4().hex[:16]}-{gk}.json"
+        relpath = os.path.join("manifests", name)
+        payload = [
+            {k: v for k, v in e.items() if not k.startswith("_")}
+            for e in ents
+        ]
+        tmp = os.path.join(mdir, f".{name}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"group": gk, "files": payload}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(mdir, name))
+        for e in ents:
+            e["_mf"] = relpath
+            e["_mfn"] = len(ents)
+        return self._manifest_summary(gk, relpath, ents)
+
+    @staticmethod
+    def _manifest_summary(
+        gk: str, relpath: str, ents: list[dict[str, Any]]
+    ) -> dict[str, Any]:
+        lsns_lo = [e.get("min_lsn") for e in ents]
+        lsns_hi = [e.get("max_lsn") for e in ents]
+        return {
+            "path": relpath,
+            "group": gk,
+            "spec_n": int(gk.split("-b")[0][1:]),
+            "bucket": int(gk.split("-b")[1]),
+            "n_files": len(ents),
+            "rows": sum(int(e.get("rows", 0)) for e in ents),
+            "deltas": sum(1 for e in ents if e.get("kind") == "delta"),
+            # None = unknown -> readers must not prune on it
+            "min_lsn": (
+                None
+                if any(x is None for x in lsns_lo)
+                else min(lsns_lo, default=None)
+            ),
+            "max_lsn": (
+                None
+                if any(x is None for x in lsns_hi)
+                else max(lsns_hi, default=None)
+            ),
+        }
+
+    def _candidate_files(
+        self,
+        snap: Snapshot,
+        buckets: set[int] | None = None,
+        lsn_gt: int | None = None,
+    ) -> list[dict[str, Any]]:
+        """File entries admitted by MANIFEST-level pruning: for a
+        sharded, still-lazy snapshot this loads only the manifests
+        whose group can overlap ``buckets`` (exact — every file in a
+        group shares its (spec, bucket) coverage) and whose known
+        max_lsn exceeds ``lsn_gt``. Returns a SUPERSET of the exact
+        answer; callers apply their per-file filters on top, as they
+        did over snap.files. Hydrated / legacy snapshots fall back to
+        the full in-memory list (same result, no extra I/O)."""
+        if "files" in snap.__dict__ or not snap.manifest_list:
+            return snap.files
+        out: list[dict[str, Any]] = []
+        for m in snap.manifest_list:
+            if (
+                buckets is not None
+                and m["bucket"] >= 0
+                and not _file_overlaps(m, buckets, snap)
+            ):
+                continue
+            if (
+                lsn_gt is not None
+                and m.get("max_lsn") is not None
+                and m["max_lsn"] <= lsn_gt
+            ):
+                continue
+            out.extend(_load_manifest(self.meta_dir, m["path"]))
+        return out
+
+    def _roll_wm_segments(self, snap: Snapshot) -> None:
+        """Keep per-snapshot watermark history O(1) amortized: once the
+        inline tail exceeds _WM_SEGMENT_ROWS entries, roll all but the
+        most recent entry into an immutable segment file and append its
+        path to ``wm_segments``. Readers that need the full line
+        (changes() attribution / expired-from recovery) concatenate
+        segments + tail via _full_wm_history()."""
+        if len(snap.wm_history) <= self._WM_SEGMENT_ROWS:
+            return
+        mdir = os.path.join(self.meta_dir, "manifests")
+        os.makedirs(mdir, exist_ok=True)
+        rolled, tail = snap.wm_history[:-1], snap.wm_history[-1:]
+        name = f"wm-{uuid.uuid4().hex[:12]}.json"
+        tmp = os.path.join(mdir, f".{name}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"entries": rolled}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(mdir, name))
+        snap.wm_segments = list(snap.wm_segments) + [
+            os.path.join("manifests", name)
+        ]
+        snap.wm_history = tail
+
+    def _full_wm_history(self, snap: Snapshot) -> list:
+        """Full [version, watermark] line: rolled segments + inline
+        tail. O(segments) metadata reads, only paid by callers that
+        genuinely need deep history."""
+        out: list = []
+        for seg in snap.wm_segments:
+            try:
+                with open(os.path.join(self.meta_dir, seg)) as fh:
+                    out.extend(json.load(fh)["entries"])
+            except FileNotFoundError:
+                continue  # segment expired: attribution degrades gracefully
+        out.extend(snap.wm_history)
+        return out
+
+    def _cap_applied(self, snap: Snapshot) -> None:
+        """Bound the exactly-once (run_id -> max batch) log carried per
+        snapshot (prop ``write.applied.max-runs``, default 4096). The
+        log is an optimization (skip re-merging a committed batch) and
+        a monotonicity guard, not the correctness backstop — a replayed
+        batch whose run was evicted re-merges and every event loses or
+        ties under LWW, so the table state is unchanged. Eviction is
+        oldest-seen-first (dict insertion order)."""
+        cap = int(snap.props.get("write.applied.max-runs", 4096))
+        if len(snap.applied) <= cap:
+            return
+        drop = len(snap.applied) - cap
+        for k in list(snap.applied)[:drop]:
+            del snap.applied[k]
 
     def _commit(
         self, snap: Snapshot, branch_edits: dict[str, int | None] | None = None
@@ -889,6 +1139,9 @@ class LakeTable:
         concurrent recoverers still resolve to exactly one winner. The
         StreamDriver's (run_id, batch_id) idempotence log makes
         retry-after-conflict safe on the CDC path."""
+        self._shard_manifests(snap)
+        self._roll_wm_segments(snap)
+        self._cap_applied(snap)
         head = os.path.join(self.meta_dir, "HEAD")
         last_err: LoadError | None = None
         for attempt in range(8):
@@ -907,13 +1160,28 @@ class LakeTable:
                         f"version {snap.parent_version}; re-read and retry"
                     )
             slot = hv + 1
+            # a watermark-advance entry this writer appended for its
+            # INTENDED version (parent+1, flagged by merge) follows the
+            # commit to the slot it actually lands in — other branches'
+            # commits shift the global sequence
+            if snap.__dict__.get("_wm_pending") and snap.wm_history:
+                snap.wm_history[-1][0] = slot
             snap.version = slot
             new_tips = dict(tips)
             new_epochs = dict(hs.branch_epochs) if hv >= 0 else {}
+            new_rr = dict(hs.ref_retention) if hv >= 0 else {}
+            for k, ms in (
+                snap.__dict__.get("_ref_retention_edits") or {}
+            ).items():
+                if ms is None:
+                    new_rr.pop(k, None)
+                else:
+                    new_rr[k] = int(ms)
             for k, v in (branch_edits or {}).items():
                 if v is None:
                     new_tips.pop(k, None)
                     new_epochs.pop(k, None)
+                    new_rr.pop(f"branch:{k}", None)
                     continue
                 # ref creation: this commit's slot is the incarnation id
                 new_epochs[k] = slot
@@ -928,6 +1196,7 @@ class LakeTable:
             new_tips[snap.branch] = slot
             snap.branches = new_tips
             snap.branch_epochs = new_epochs
+            snap.ref_retention = new_rr
             if snap.committed_at_ms < 0 or attempt > 0:
                 snap.committed_at_ms = int(time.time() * 1000)
             vpath = os.path.join(self.meta_dir, f"version-{slot:08d}.json")
@@ -1163,15 +1432,18 @@ class LakeTable:
                 raise LoadError("pass version OR as_of_ms, not both")
             version = self.version_as_of(as_of_ms)
         snap = self.current() if version is None else self.snapshot(version)
-        files = snap.files
         mixed = False
         if buckets is not None:
             wanted = set(buckets)
+            # sharded snapshots load only the admitted groups' manifests
+            files = self._candidate_files(snap, buckets=wanted)
             files = [f for f in files if _file_overlaps(f, wanted, snap)]
             # a file written under a coarser (pre-evolution) spec also
             # holds sibling buckets' keys; a residual hash filter keeps
             # bucket-restricted reads row-exact across spec evolution
             mixed = any(_file_spec(f, snap) != snap.num_buckets for f in files)
+        else:
+            files = snap.files
         kvals: list[Any] | None = None
         if key_values is not None:
             kvals = list(key_values)
@@ -1262,16 +1534,44 @@ class LakeTable:
         self, values: Sequence[Any], snap: Snapshot
     ) -> tuple[list[int], list[list[int]]]:
         """Bucket ids the given bucket-column values hash into plus the
-        values' raw bloom probe hashes — computed with the SAME
-        expressions the write path uses (``bucket_expr``'s xxhash64 and
-        ``_key_blooms``' xxhash64(key, i) family), over a literal
-        len(values)-row frame. A driver-local micro-job; never touches
-        table data."""
+        values' raw bloom probe hashes — computed with the SAME hash
+        family the write path uses (``bucket_expr``'s xxhash64 and
+        ``_key_blooms``' xxhash64(key, i)).
+
+        Fast path: a pure-Python xxhash64 (functions/xxh64.py, pinned
+        bit-identical to the JVM by tests/test_xxh64_pin.py) hashes the
+        probe keys on the driver, so an interactive ``lookup`` issues
+        exactly ONE Spark job — the pruned scan — instead of paying a
+        ~100 ms hash micro-job first. Key dtypes outside the pinned set
+        fall back to the original Spark-job probe, so the fast path can
+        never be a correctness input."""
         btype = next(
             f.dataType
             for f in snap.schema().fields
             if f.name == snap.bucket_col
         )
+        try:
+            from etl_rs_spark.functions.xxh64 import (
+                UnsupportedKeyType,
+                spark_xxhash64,
+            )
+
+            dt = btype.simpleString()
+            n = snap.num_buckets
+            buckets_set: set[int] = set()
+            hashes = []
+            for v in values:
+                h = spark_xxhash64([v], [dt])
+                buckets_set.add(((h % n) + n) % n)
+                hashes.append(
+                    [
+                        spark_xxhash64([v, k], [dt, "int"])
+                        for k in range(_KB_K)
+                    ]
+                )
+            return sorted(buckets_set), hashes
+        except UnsupportedKeyType:
+            pass  # exotic key dtype: hash through Spark below
         vdf = self.spark.createDataFrame(
             [(i, v) for i, v in enumerate(values)],
             T.StructType(
@@ -1345,6 +1645,44 @@ class LakeTable:
         )
 
     # ------------------------------------------------- metadata tables --
+    def row_count(self, version: int | None = None) -> int:
+        """Upper-bound row count from manifest metadata alone — ZERO
+        Spark jobs and (on a sharded snapshot) zero manifest loads: the
+        manifest-list summaries carry per-group footer row counts. The
+        count includes tombstones and unresolved MoR delta rows, so it
+        is an OVERESTIMATE of the resolved state — exactly what
+        corpus-size-derived knobs want (``auto_doc_freq_cap`` only
+        loosens with an overestimate, never tightens)."""
+        snap = self.current() if version is None else self.snapshot(version)
+        if "files" not in snap.__dict__ and snap.manifest_list:
+            return sum(int(m.get("rows", 0)) for m in snap.manifest_list)
+        return sum(int(f.get("rows", 0)) for f in snap.files)
+
+    def ngram_dedup_pairs(
+        self,
+        id_col: str,
+        text_col: str,
+        n: int = 3,
+        threshold: float = 0.8,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Corpus-scale n-gram Jaccard near-dup pairs over the table's
+        resolved state, with the hot-gram cap derived from the
+        MANIFEST's own row counts (``row_count``) — the data-derived
+        cap costs zero extra jobs here, not even the in-plan count
+        subquery the standalone operator falls back to."""
+        from etl_rs_spark.operators.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(
+            self.read(version=version),
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            threshold=threshold,
+            max_doc_freq="auto",
+            n_docs=self.row_count(version=version),
+        )
+
     def inspect_files(self, version: int | None = None) -> DataFrame:
         """The manifest as a queryable DataFrame (Iceberg's ``t.files``
         metadata table): one row per live data file with its bucket,
@@ -1389,6 +1727,14 @@ class LakeTable:
             glob.glob(os.path.join(self.meta_dir, "version-*.json"))
         ):
             s = Snapshot.from_json(open(p).read())
+            if s.manifest_list:
+                # sharded: the manifest-list summaries already carry
+                # the counts — zero manifest files opened
+                n_files = sum(m["n_files"] for m in s.manifest_list)
+                n_rows = sum(m["rows"] for m in s.manifest_list)
+            else:
+                n_files = len(s.files)
+                n_rows = sum(f.get("rows", 0) for f in s.files)
             rows.append(
                 (
                     s.version,
@@ -1396,8 +1742,8 @@ class LakeTable:
                     s.branch,
                     s.parent_version,
                     s.watermark_lsn,
-                    len(s.files),
-                    sum(f.get("rows", 0) for f in s.files),
+                    n_files,
+                    n_rows,
                     s.num_buckets,
                     s.epoch,
                 )
@@ -1709,7 +2055,10 @@ class LakeTable:
                 )
         files = []
         for f in snap.files:
-            g = dict(f)
+            # copy WITHOUT the _mf provenance keys: the stamped spec_n
+            # must reach disk, so the group may not reuse its parent
+            # manifest (see _shard_manifests)
+            g = {k: v for k, v in f.items() if not k.startswith("_")}
             g.setdefault("spec_n", snap.num_buckets)
             files.append(g)
         new_snap = snap.child(num_buckets=new_n, files=files)
@@ -1743,7 +2092,10 @@ class LakeTable:
         return {"version": new_snap.version, "props": merged}
 
     def create_tag(
-        self, name: str, version: int | None = None
+        self,
+        name: str,
+        version: int | None = None,
+        max_age_ms: int | None = None,
     ) -> dict[str, Any]:
         """Pin a snapshot under a name (Iceberg ALTER TABLE ... CREATE
         TAG): a metadata-only commit that records ``name -> version``
@@ -1763,6 +2115,12 @@ class LakeTable:
         except FileNotFoundError:
             raise LoadError(f"tag target version {v} does not exist")
         new_snap = snap.child(refs={**snap.refs, name: v})
+        if max_age_ms is not None:
+            # Iceberg max-ref-age-ms for tags: expire_snapshots drops
+            # the tag once the pinned snapshot is older than this
+            new_snap.__dict__["_ref_retention_edits"] = {
+                f"tag:{name}": int(max_age_ms)
+            }
         self._commit(new_snap)
         return {"version": new_snap.version, "tag": name, "at": v}
 
@@ -1775,6 +2133,7 @@ class LakeTable:
         refs = dict(snap.refs)
         at = refs.pop(name)
         new_snap = snap.child(refs=refs)
+        new_snap.__dict__["_ref_retention_edits"] = {f"tag:{name}": None}
         self._commit(new_snap)
         return {"version": new_snap.version, "dropped": name, "was_at": at}
 
@@ -1784,7 +2143,10 @@ class LakeTable:
 
     # --------------------------------------------- branches (WAP) --
     def create_branch(
-        self, name: str, version: int | None = None
+        self,
+        name: str,
+        version: int | None = None,
+        max_age_ms: int | None = None,
     ) -> dict[str, Any]:
         """Create a branch ref (Iceberg ALTER TABLE ... CREATE BRANCH)
         pointing at this handle's branch tip (or an explicit
@@ -1794,7 +2156,14 @@ class LakeTable:
         capability, zero main-branch visibility — audit it, then
         ``fast_forward`` to publish atomically or ``drop_branch`` to
         discard. A branch tip and the files it references survive
-        expire_snapshots like any ref. Metadata-only commit; O(1)."""
+        expire_snapshots like any ref. Metadata-only commit; O(1).
+
+        ``max_age_ms`` (Iceberg's ``RETAIN``/``max-ref-age-ms`` ref
+        property): once the branch TIP snapshot is older than this,
+        ``expire_snapshots`` drops the ref automatically and its
+        snapshots rejoin the retention pool — so a forgotten audit
+        branch cannot pin table history forever. Default None = pinned
+        until dropped explicitly (previous behavior)."""
         if name == "main":
             raise LoadError("branch 'main' always exists")
         tips = self.branches()
@@ -1814,6 +2183,10 @@ class LakeTable:
             except FileNotFoundError:
                 raise LoadError(f"branch target version {v} does not exist")
         child = snap.child()
+        if max_age_ms is not None:
+            child.__dict__["_ref_retention_edits"] = {
+                f"branch:{name}": int(max_age_ms)
+            }
         self._commit(child, branch_edits={name: v})
         return {"branch": name, "at": child.branches[name]}
 
@@ -2014,11 +2387,13 @@ class LakeTable:
             wm = self.snapshot(from_version).watermark_lsn
         except FileNotFoundError:
             # from-snapshot expired: its watermark is recoverable from
-            # the to-snapshot's history (last advance at or before it)
-            if not snap.wm_history:
+            # the to-snapshot's history (last advance at or before it).
+            # Deep windows may need rolled segments — O(segments) reads.
+            full_hist = self._full_wm_history(snap)
+            if not full_hist:
                 raise
             wm = max(
-                (w for v, w in snap.wm_history if v <= from_version),
+                (w for v, w in full_hist if v <= from_version),
                 default=-1,
             )
         def _scan(fs: list[dict[str, Any]]) -> DataFrame:
@@ -2034,19 +2409,31 @@ class LakeTable:
         # keep the metadata-pruned scan.
         # bucket identity under the CURRENT spec (exact across bucket-
         # spec evolution: _expand_to_current)
+        # a sharded, delta-free snapshot (the steady CoW state) prunes
+        # at the MANIFEST level: groups wholly at or below the
+        # watermark are never even loaded, so an incremental window on
+        # a long table reads O(changed groups) driver metadata
+        if (
+            "files" not in snap.__dict__
+            and snap.manifest_list
+            and not any(m.get("deltas") for m in snap.manifest_list)
+        ):
+            scan_pool = self._candidate_files(snap, lsn_gt=wm)
+        else:
+            scan_pool = snap.files
         delta_cov: set[int] = set()
-        for f in snap.files:
+        for f in scan_pool:
             if f.get("kind") == "delta":
                 delta_cov |= _expand_to_current(f, snap)
         dirty: set[int] = set()
-        for f in snap.files:
+        for f in scan_pool:
             if (
                 f.get("max_lsn") is None or f["max_lsn"] > wm
             ) and _file_overlaps(f, delta_cov, snap):
                 dirty |= _expand_to_current(f, snap) & delta_cov
         files = [
             f
-            for f in snap.files
+            for f in scan_pool
             if not _file_overlaps(f, dirty, snap)
             and (f.get("max_lsn") is None or f["max_lsn"] > wm)
         ]
@@ -2088,10 +2475,17 @@ class LakeTable:
         # watermark reached L; watermarks are monotone, so the window's
         # (prev_wm, wm] ranges partition the LSN line and each changed
         # row matches exactly one range
-        if snap.wm_history:
+        # windows inside the inline tail attribute with zero extra
+        # reads; only a window reaching past the tail pays O(segments)
+        wm_line = snap.wm_history
+        if wm_line and snap.wm_segments and (
+            from_version < wm_line[0][0]
+        ):
+            wm_line = self._full_wm_history(snap)
+        if wm_line:
             hist = [
                 (v, w)
-                for v, w in snap.wm_history
+                for v, w in wm_line
                 if from_version < v <= snap.version
             ]
         else:  # legacy manifest: walk surviving version files
@@ -2428,7 +2822,51 @@ class LakeTable:
         (``create_tag``) or any branch's tip (``create_branch``) — are
         kept, with their files, regardless of age, exactly like Iceberg
         refs gate snapshot expiry. Tags are per-branch metadata, so the
-        union of every tip's refs is protected."""
+        union of every tip's refs is protected.
+
+        Refs created with ``max_age_ms`` (Iceberg's max-ref-age-ms) are
+        DROPPED here first once the snapshot they point to is older
+        than their limit — aged branches/tags stop pinning history, the
+        un-aged ones keep the full contract above."""
+        dropped_refs: list[str] = []
+        now_ms = int(time.time() * 1000)
+        rr = self._head_snapshot().ref_retention
+        if rr:
+            for b, tip in list(self.branches().items()):
+                ms = rr.get(f"branch:{b}")
+                if ms is None or b in ("main", self._branch):
+                    continue
+                try:
+                    committed = self.snapshot(int(tip)).committed_at_ms
+                except FileNotFoundError:
+                    continue
+                if now_ms - committed > ms:
+                    self._commit(
+                        self.current().child(), branch_edits={b: None}
+                    )
+                    dropped_refs.append(f"branch:{b}")
+            snap = self.current()
+            aged_tags = []
+            for tname, pinned in snap.refs.items():
+                ms = rr.get(f"tag:{tname}")
+                if ms is None:
+                    continue
+                try:
+                    committed = self.snapshot(int(pinned)).committed_at_ms
+                except FileNotFoundError:
+                    continue
+                if now_ms - committed > ms:
+                    aged_tags.append(tname)
+            if aged_tags:
+                refs = {
+                    k: v for k, v in snap.refs.items() if k not in aged_tags
+                }
+                child = snap.child(refs=refs)
+                child.__dict__["_ref_retention_edits"] = {
+                    f"tag:{t}": None for t in aged_tags
+                }
+                self._commit(child)
+                dropped_refs += [f"tag:{t}" for t in aged_tags]
         tips = _tips(self._head_snapshot())
         versions = sorted(
             int(p.split("version-")[1].split(".")[0])
@@ -2437,19 +2875,63 @@ class LakeTable:
         keep = set(versions[-keep_last:]) | {int(v) for v in tips.values()}
         for tv in set(tips.values()):
             keep |= {int(v) for v in self.snapshot(int(tv)).refs.values()}
+        # each unique manifest is loaded at most ONCE: live data paths
+        # come from manifests any kept snapshot references; candidate-
+        # dead paths only from manifests referenced exclusively by
+        # expired snapshots (files in a shared manifest are live by
+        # construction). Legacy inline-files snapshots contribute
+        # directly.
         live: set[str] = set()
+        live_meta: set[str] = set()  # manifest + wm-segment files kept
         for v in keep:
-            live.update(f["path"] for f in self.snapshot(v).files)
+            s = self.snapshot(v)
+            live_meta.update(m["path"] for m in s.manifest_list)
+            live_meta.update(s.wm_segments)
+            if not s.manifest_list:
+                live.update(f["path"] for f in s.files)
+        dead_meta: set[str] = set()
+        dead_candidates: set[str] = set()
+        expired_snaps = [self.snapshot(v) for v in versions if v not in keep]
+        for s in expired_snaps:
+            dead_meta.update(m["path"] for m in s.manifest_list)
+            dead_meta.update(s.wm_segments)
+            if not s.manifest_list:
+                dead_candidates.update(f["path"] for f in s.files)
+        for rel in live_meta:
+            if rel.split("/")[-1].startswith("mf-"):
+                live.update(
+                    e["path"] for e in _load_manifest(self.meta_dir, rel)
+                )
+        for rel in dead_meta - live_meta:
+            if rel.split("/")[-1].startswith("mf-"):
+                dead_candidates.update(
+                    e["path"] for e in _load_manifest(self.meta_dir, rel)
+                )
         removed_files = 0
+        for path in dead_candidates - live:
+            if os.path.exists(path):
+                os.remove(path)
+                removed_files += 1
         for v in versions:
-            if v in keep:
-                continue
-            for f in self.snapshot(v).files:
-                if f["path"] not in live and os.path.exists(f["path"]):
-                    os.remove(f["path"])
-                    removed_files += 1
-            os.remove(os.path.join(self.meta_dir, f"version-{v:08d}.json"))
-        return {"expired_versions": len(versions) - len(keep), "files_deleted": removed_files}
+            if v not in keep:
+                os.remove(
+                    os.path.join(self.meta_dir, f"version-{v:08d}.json")
+                )
+        # manifest files referenced ONLY by expired snapshots go with
+        # them (Iceberg expire_snapshots deletes unreferenced manifests
+        # the same way); wm-history segments are retained while any
+        # surviving snapshot lists them
+        removed_manifests = 0
+        for rel in dead_meta - live_meta:
+            p = os.path.join(self.meta_dir, rel)
+            if os.path.exists(p):
+                os.remove(p)
+                removed_manifests += 1
+        return {
+            "expired_versions": len(versions) - len(keep),
+            "files_deleted": removed_files,
+            "manifests_deleted": removed_manifests,
+        }
 
     def vacuum_orphans(self, older_than_s: float = 3 * 3600) -> dict[str, Any]:
         """Delete data files referenced by NO snapshot (Iceberg
@@ -2466,9 +2948,13 @@ class LakeTable:
         older-than-3-days for the same reason). Pass 0 only when no
         writer can be running."""
         live: set[str] = set()
+        live_meta: set[str] = set()
         for p in glob.glob(os.path.join(self.meta_dir, "version-*.json")):
             v = int(p.split("version-")[1].split(".")[0])
-            live.update(f["path"] for f in self.snapshot(v).files)
+            s = self.snapshot(v)
+            live.update(f["path"] for f in s.files)
+            live_meta.update(m["path"] for m in s.manifest_list)
+            live_meta.update(s.wm_segments)
         live_abs = {os.path.abspath(x) for x in live}
         removed = skipped_young = 0
         cutoff = time.time() - older_than_s
@@ -2485,7 +2971,30 @@ class LakeTable:
                 removed += 1
             except FileNotFoundError:
                 pass
-        return {"orphans_deleted": removed, "skipped_young": skipped_young}
+        # manifest/segment files referenced by NO snapshot: residue of a
+        # writer that crashed between _shard_manifests and _commit. Same
+        # age gate — an in-flight writer has exactly such files.
+        removed_manifests = 0
+        live_meta_abs = {
+            os.path.abspath(os.path.join(self.meta_dir, r))
+            for r in live_meta
+        }
+        for p in glob.glob(os.path.join(self.meta_dir, "manifests", "*.json")):
+            if os.path.abspath(p) in live_meta_abs:
+                continue
+            try:
+                if os.path.getmtime(p) > cutoff:
+                    skipped_young += 1
+                    continue
+                os.remove(p)
+                removed_manifests += 1
+            except FileNotFoundError:
+                pass
+        return {
+            "orphans_deleted": removed,
+            "skipped_young": skipped_young,
+            "orphan_manifests_deleted": removed_manifests,
+        }
 
     def compact(
         self,
@@ -2747,13 +3256,31 @@ class LakeTable:
                 f"unknown merge mode {mode!r} "
                 "(copy-on-write | merge-on-read)"
             )
+        # sharded + still-lazy snapshot: the whole merge (routing,
+        # current-state selection, and the commit below) runs off
+        # manifest summaries + the TOUCHED groups' manifests only —
+        # O(touched buckets) driver metadata, never O(table files)
+        lazy = (
+            "files" not in snap.__dict__
+            and bool(snap.manifest_list)
+            and snap.__dict__.get("_files_loader") is not None
+        )
         if mode == "merge-on-read":
             max_delta = int(snap.props.get("write.delta.max-files", 8))
             n_delta: dict[int, int] = {}
-            for f in snap.files:
-                if f.get("kind") == "delta":
-                    for b in _expand_to_current(f, snap):
-                        n_delta[b] = n_delta.get(b, 0) + 1
+            if lazy:
+                # per-group delta counts ride the manifest list; a
+                # coarse group's count lands on every covered bucket
+                # (overcount folds early — safe)
+                for m in snap.manifest_list:
+                    if m.get("deltas"):
+                        for b in _expand_to_current(m, snap):
+                            n_delta[b] = n_delta.get(b, 0) + m["deltas"]
+            else:
+                for f in snap.files:
+                    if f.get("kind") == "delta":
+                        for b in _expand_to_current(f, snap):
+                            n_delta[b] = n_delta.get(b, 0) + 1
             fold = [b for b in affected if n_delta.get(b, 0) + 1 > max_delta]
         else:
             fold = list(affected)
@@ -2767,7 +3294,9 @@ class LakeTable:
         # resolve unopposed and land in current-spec files — merges
         # migrate the table toward the new spec as buckets get touched
         cur_files = [
-            f for f in snap.files if _file_overlaps(f, fold_set, snap)
+            f
+            for f in self._candidate_files(snap, buckets=fold_set)
+            if _file_overlaps(f, fold_set, snap)
         ]
         # scanned under the WIDENED/PROMOTED logical schema, with
         # per-epoch physical-name translation for pre-rename files
@@ -2884,8 +3413,32 @@ class LakeTable:
             )
         # fold buckets are fully replaced; cold buckets KEEP their
         # existing base+delta files (the new deltas stack on top)
-        fold_paths = {f["path"] for f in cur_files}
-        kept = [f for f in snap.files if f["path"] not in fold_paths]
+        if lazy:
+            # group-edit commit: untouched groups' manifests are reused
+            # by pointer; fold-overlapping groups are emptied (every
+            # entry was rewritten above); new files land in their
+            # current-spec groups, loading at most the touched groups'
+            # prior entries (the delta-append case)
+            edits: dict[str, list[dict[str, Any]]] = {
+                m["group"]: []
+                for m in snap.manifest_list
+                if _file_overlaps(m, fold_set, snap)
+            }
+            by_path = {m["group"]: m["path"] for m in snap.manifest_list}
+            for f in new_files:
+                gk = _group_key(f, snap)
+                if gk not in edits:
+                    edits[gk] = (
+                        _load_manifest(self.meta_dir, by_path[gk])
+                        if gk in by_path
+                        else []
+                    )
+                edits[gk].append(f)
+        else:
+            fold_paths = {f["path"] for f in cur_files}
+            kept = [
+                f for f in snap.files if f["path"] not in fold_paths
+            ]
 
         applied = dict(snap.applied)
         if run_id is not None and batch_id is not None:
@@ -2901,19 +3454,25 @@ class LakeTable:
             field_ids[f.name] = nfi
             epoch_names.setdefault(str(snap.epoch), {})[str(nfi)] = f.name
             nfi += 1
-        new_snap = snap.child(
+        child_kw: dict[str, Any] = dict(
             schema_json=schema_json,
-            files=kept + new_files,
             applied=applied,
             watermark_lsn=max(snap.watermark_lsn, int(hi_lsn if hi_lsn is not None else -1)),
             field_ids=field_ids,
             next_field_id=nfi,
             epoch_names=epoch_names,
         )
+        if not lazy:
+            child_kw["files"] = kept + new_files
+        new_snap = snap.child(**child_kw)
+        if lazy:
+            new_snap.__dict__["_group_edits"] = edits
         if new_snap.watermark_lsn > snap.watermark_lsn:
             new_snap.wm_history.append(
                 [new_snap.version, new_snap.watermark_lsn]
             )
+            # _commit retargets this entry to the slot actually taken
+            new_snap.__dict__["_wm_pending"] = True
         t_commit = time.monotonic()
         self._commit(new_snap)
         stage_ms["commit"] = int((time.monotonic() - t_commit) * 1000)

@@ -277,6 +277,17 @@ def test_manifest_forward_compat_ignores_unknown_keys(spark, tmp_path):
     d["some_future_metadata_field"] = {"x": 1}
     restored = Snapshot.from_json(json.dumps(d))
     assert restored.version == snap.version
+    assert restored.manifest_list == snap.manifest_list
+    # hydration goes through the table (which knows meta_dir); a bare
+    # from_json consumer touching .files of a sharded snapshot fails
+    # loud instead of silently reading an empty table
+    import pytest as _pytest
+
+    from etl_rs_spark.errors import LoadError as _LE
+
+    with _pytest.raises(_LE, match="sharded snapshot"):
+        _ = restored.files
+    t._attach_files_loader(restored)
     assert restored.files == snap.files
 
 
@@ -382,4 +393,63 @@ def test_stream_on_branch_then_publish_equals_oracle(spark, tmp_path):
     t.fast_forward("ingest")
     assert_state_equal(
         t.read().toPandas(), replay(ev.toPandas())
+    )
+
+
+def test_aged_branch_and_tag_expire_main_contract_holds(spark, tmp_path):
+    """Iceberg max-ref-age-ms: a branch/tag created with max_age_ms
+    stops pinning snapshots once its target snapshot ages out —
+    expire_snapshots drops the ref, the branch's private snapshots and
+    files rejoin the retention pool and are deleted — while an un-aged
+    ref and main's keep_last contract are untouched."""
+    import glob as _glob
+    import os as _os
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    t.merge(
+        _df(spark, 6)
+        .withColumn("op", F.lit("I"))
+        .withColumn("lsn", F.col("turn_idx").cast("long")),
+        run_id="r",
+        batch_id=0,
+    )
+    # an audit branch with a tiny retention, plus staged private work
+    t.create_branch("audit", max_age_ms=1)
+    b = t.on_branch("audit")
+    b.merge(
+        spark.createDataFrame(
+            [("zz", 9, __import__("datetime").datetime(2025, 1, 1), 100, "U")],
+            "conv_id string, turn_idx int, ts timestamp, lsn long, op string",
+        ),
+        run_id="r",
+        batch_id=1,
+    )
+    branch_tip = t.branches()["audit"]
+    # a permanent tag and an aged tag
+    t.create_tag("forever")
+    t.create_tag("ephemeral", max_age_ms=1)
+    import time as _time
+
+    _time.sleep(0.05)  # both aged refs are now past their 1 ms budget
+    # advance main so keep_last has something newer to keep
+    for i in range(3):
+        t.append(_df(spark, 2))
+
+    res = t.expire_snapshots(keep_last=2)
+    assert "audit" not in t.branches()
+    assert "ephemeral" not in t.tags() and "forever" in t.tags()
+    # the aged branch's private snapshot is no longer pinned: its
+    # version file is gone (the ref no longer protects it)
+    survivors = {
+        int(p.split("version-")[1].split(".")[0])
+        for p in _glob.glob(_os.path.join(t.meta_dir, "version-*.json"))
+    }
+    assert branch_tip not in survivors
+    # main still reads correctly and the permanent tag's pin holds
+    assert t.read().count() >= 6
+    assert t.tags()["forever"] in survivors
+    # retention metadata for dropped refs is purged
+    assert not any(
+        k.endswith(":audit") or k.endswith(":ephemeral")
+        for k in t.current().ref_retention
     )

@@ -237,6 +237,256 @@ def test_manifest_stays_bounded_after_compaction(spark, tmp_path):
     assert t.read().count() == 12 * 8
 
 
+def _manifest_files(t):
+    import glob as _glob
+    import os as _os
+
+    return set(
+        _glob.glob(_os.path.join(t.meta_dir, "manifests", "mf-*.json"))
+    )
+
+
+def test_commit_metadata_is_o_touched_buckets(spark, tmp_path):
+    """The Iceberg manifest-list layout at work: a merge touching ONE
+    bucket of a many-bucket table writes exactly one new bucket
+    manifest and a snapshot JSON whose size is O(groups) summaries —
+    never a re-serialization of every file entry in the table. This is
+    the 100-TB metadata-plane contract (a commit on a 10^6-file table
+    must not write 10^6 entries)."""
+    import datetime as dt
+    import json as _json
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        "conv_id string, turn_idx int, ts timestamp",
+        num_buckets=32,
+        props={"write.key-bloom.bits": 4096},  # blooms ride manifests
+    )
+    wide = spark.range(320).select(
+        F.format_string("c%d", F.col("id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+    )
+    t.merge(wide, run_id="r", batch_id=0)
+    before = _manifest_files(t)
+    assert len(before) >= 32  # one manifest per touched group
+
+    # a single-conversation update touches exactly one bucket
+    one = spark.createDataFrame(
+        [("c7", 0, dt.datetime(2025, 1, 1), 10_000, "U")],
+        "conv_id string, turn_idx int, ts timestamp, lsn long, op string",
+    )
+    res = t.merge(one, run_id="r", batch_id=1)
+    assert len(res["buckets_touched"]) == 1
+    after = _manifest_files(t)
+    new_manifests = after - before
+    assert len(new_manifests) == 1  # O(touched buckets) manifest writes
+
+    # the snapshot JSON itself carries no per-file entries (and in
+    # particular no bloom bitmaps): it stays small and its size is
+    # driven by the group summaries, not the table's file count
+    snap = t.current()
+    vpath = os.path.join(t.meta_dir, f"version-{snap.version:08d}.json")
+    d = _json.loads(open(vpath).read())
+    assert "files" not in d and len(d["manifest_list"]) >= 32
+    assert "key_bloom" not in open(vpath).read()
+    # hydration returns the full, correct file set
+    assert t.read().count() == 320
+    assert [r.ts for r in t.lookup("c7").collect()] == [
+        dt.datetime(2025, 1, 1)
+    ]
+
+    # metadata-only commits (tag) write ZERO manifests and never
+    # hydrate: pointer carry-over, Iceberg-style
+    t.create_tag("pin")
+    assert _manifest_files(t) == after
+
+
+def test_merge_loads_only_touched_groups_manifests(
+    spark, tmp_path, monkeypatch
+):
+    """A merge on a sharded table never hydrates the full manifest set:
+    driver-side metadata READS during the merge are O(touched groups)
+    — here exactly one manifest load for a one-bucket batch on a
+    32-group table — and the commit reuses every other group's
+    manifest by pointer."""
+    import datetime as dt
+
+    import etl_rs_spark.sinks.lake as lake_mod
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        "conv_id string, turn_idx int, ts timestamp",
+        num_buckets=32,
+    )
+    wide = spark.range(320).select(
+        F.format_string("c%d", F.col("id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+    )
+    t.merge(wide, run_id="r", batch_id=0)
+
+    loads = []
+    real = lake_mod._load_manifest
+
+    def counting(meta_dir, relpath):
+        loads.append(relpath)
+        return real(meta_dir, relpath)
+
+    monkeypatch.setattr(lake_mod, "_load_manifest", counting)
+    one = spark.createDataFrame(
+        [("c7", 0, dt.datetime(2025, 1, 1), 10_000, "U")],
+        "conv_id string, turn_idx int, ts timestamp, lsn long, op string",
+    )
+    res = t.merge(one, run_id="r", batch_id=1)
+    monkeypatch.setattr(lake_mod, "_load_manifest", real)
+    assert len(res["buckets_touched"]) == 1
+    assert len(loads) == 1, loads  # only the touched group's manifest
+    assert t.read().where("conv_id = 'c7'").collect()[0].ts == dt.datetime(
+        2025, 1, 1
+    )
+
+
+def test_wm_history_segments_roll_and_attribution_survives(
+    spark, tmp_path, monkeypatch
+):
+    """Per-snapshot watermark history stays O(1): with a tiny segment
+    threshold, many merges roll history into immutable segment files,
+    the inline tail stays bounded, and deep-window CDF attribution +
+    expired-from recovery read through the segments."""
+    monkeypatch.setattr(LakeTable, "_WM_SEGMENT_ROWS", 4)
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    for i in range(12):
+        src = spark.createDataFrame(
+            [("c1", i, __import__("datetime").datetime(2024, 1, 1 + i), i, "I")],
+            "conv_id string, turn_idx int, ts timestamp, lsn long, op string",
+        )
+        t.merge(src, run_id="r", batch_id=i)
+    snap = t.current()
+    assert len(snap.wm_history) <= 5  # tail bounded by threshold+1
+    assert len(snap.wm_segments) >= 1
+    full = t._full_wm_history(snap)
+    assert [w for _, w in full] == [-1] + list(range(12))  # nothing lost
+
+    # deep-window attribution spans segments: every upsert attributes
+    # to the version that applied it
+    feed = t.changes(1, with_version=True).toPandas()
+    assert feed._commit_version.notna().all()
+    assert len(feed) == 11  # turns 1..11 net-changed since version 1
+    # expired FROM-version recovery also reads through segments
+    t.expire_snapshots(keep_last=2)
+    feed2 = t.changes(3).toPandas()
+    assert set(feed2.turn_idx) == set(range(3, 12))
+
+
+def test_expire_snapshots_collects_dead_manifests(spark, tmp_path):
+    """Manifests referenced only by expired snapshots are deleted with
+    them; shared (reused) manifests survive and the table reads
+    correctly afterwards."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=4)
+    for i in range(6):
+        t.append(_df(spark, 4))
+    before = _manifest_files(t)
+    res = t.expire_snapshots(keep_last=2)
+    assert res["manifests_deleted"] >= 1
+    after = _manifest_files(t)
+    assert after < before
+    assert t.read().count() == 24  # appended rows all still readable
+    # every surviving snapshot still hydrates
+    for v in sorted(
+        int(p.split("version-")[1].split(".")[0])
+        for p in __import__("glob").glob(
+            os.path.join(t.meta_dir, "version-*.json")
+        )
+    ):
+        assert t.snapshot(v).files is not None
+
+
+def test_applied_log_capped_with_lww_backstop(spark, tmp_path):
+    """The exactly-once (run_id -> batch) log is bounded by
+    write.applied.max-runs; an evicted run's replayed batch re-merges
+    but every event loses/ties under LWW, so state is unchanged."""
+    import datetime as dt
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        DDL,
+        num_buckets=2,
+        props={"write.applied.max-runs": 2},
+    )
+    ts = dt.datetime(2024, 1, 1)
+    for i, run in enumerate(["run_a", "run_b", "run_c"]):
+        src = spark.createDataFrame(
+            [(f"c{i}", 0, ts, i, "I")],
+            "conv_id string, turn_idx int, ts timestamp, lsn long, op string",
+        )
+        t.merge(src, run_id=run, batch_id=0)
+    snap = t.current()
+    assert len(snap.applied) == 2 and "run_a" not in snap.applied
+    state_before = sorted(
+        (r.conv_id, r.turn_idx) for r in t.read().collect()
+    )
+    # replay the evicted run's batch: re-merges, LWW makes it a no-op
+    replay = spark.createDataFrame(
+        [("c0", 0, ts, 0, "I")],
+        "conv_id string, turn_idx int, ts timestamp, lsn long, op string",
+    )
+    t.merge(replay, run_id="run_a", batch_id=0)
+    assert (
+        sorted((r.conv_id, r.turn_idx) for r in t.read().collect())
+        == state_before
+    )
+
+
+def test_row_count_and_manifest_fed_dedup_cap(spark, tmp_path):
+    """row_count comes from manifest-list summaries with ZERO Spark
+    jobs (asserted via a job group), and the table-level dedup entry
+    feeds it into the hot-gram cap so corpus-scale dedup never runs a
+    count job either."""
+    import datetime as dt
+
+    from etl_rs_spark.operators.dedup import auto_doc_freq_cap
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        "conv_id string, turn_idx int, text string, ts timestamp",
+        num_buckets=4,
+    )
+    src = spark.range(60).select(
+        F.format_string("c%d", F.col("id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.concat(
+            F.lit("the quick brown fox jumps over doc "), F.col("id")
+        ).alias("text"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+    )
+    t.merge(src, run_id="r", batch_id=0)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("rowcount-zero-jobs", "manifest row count", False)
+    n = t.row_count()
+    sc.setJobGroup(None, None, False)  # type: ignore[arg-type]
+    assert n == 60
+    assert sc.statusTracker().getJobIdsForGroup("rowcount-zero-jobs") == []
+    assert auto_doc_freq_cap(n) == 16  # sqrt(60) < 16 floor
+
+    # the table-level dedup entry wires the manifest count through:
+    # every doc shares the 6-word stop phrase, so with the cap the
+    # shared grams are dropped and no pair crosses the threshold
+    pairs = t.ngram_dedup_pairs("conv_id", "text", n=3, threshold=0.5)
+    assert pairs.count() == 0
+
+
 def test_vacuum_orphans_removes_only_unreferenced(spark, tmp_path):
     """Files from a crashed (uncommitted) write are deleted; every
     file referenced by any retained snapshot survives and the table
@@ -1469,6 +1719,13 @@ def test_legacy_manifest_synthesizes_field_ids(spark, tmp_path):
     d = _json.loads(open(vpath).read())
     for k in ("field_ids", "next_field_id", "epoch", "epoch_names"):
         d.pop(k, None)
+    # legacy manifests carried files INLINE (no manifest sharding):
+    # rebuild that shape from the current snapshot's hydrated entries
+    d["files"] = [
+        {k: v for k, v in f.items() if not k.startswith("_")}
+        for f in snap.files
+    ]
+    d.pop("manifest_list", None)
     for f in d["files"]:
         f.pop("epoch", None)
     os.remove(vpath)
