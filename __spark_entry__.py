@@ -1383,6 +1383,40 @@ def q_cdc_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MANIFEST-FED spelling of capped n-gram dedup: documents are
+    merged into a LakeTable, then ``LakeTable.ngram_dedup_pairs`` runs
+    the same capped postings join with the hot-gram cap derived from the
+    table's own manifest-list row counts (``row_count`` — zero Spark
+    jobs, zero manifest loads) instead of an in-plan count subquery.
+    The oracle is IDENTICAL to ngram_jaccard_capped's: a cap computed
+    from metadata must produce byte-identical pairs to one computed
+    from the data."""
+    import tempfile
+
+    from etl_rs_spark.sinks.lake import LakeTable
+
+    d = _t(spark, sf_dir, "documents")
+    src = d.select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(1700000000)).alias("ts"),
+        F.col("doc_id").alias("lsn"),
+        F.lit("I").alias("op"),
+    )
+    work = tempfile.mkdtemp(prefix="ngram-table-entry-")
+    t = LakeTable.create(
+        spark,
+        f"{work}/t",
+        "doc_id bigint, text string, ts timestamp",
+        key_cols=["doc_id"],
+        bucket_col="doc_id",
+        num_buckets=8,
+    )
+    t.merge(src, run_id="nj", batch_id=0)
+    return t.ngram_dedup_pairs("doc_id", "text", n=3, threshold=0.1)
+
+
 def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE under the oracle (sinks/lake.py analyze — the role
     Iceberg Puffin stats play): the change stream replays into a table,
@@ -1472,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sliding": q_window_sliding,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "ngram_jaccard_table": q_ngram_jaccard_table,
         "verified_pairs": q_verified_pairs,
         "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -1810,6 +1845,38 @@ def oracle_sql() -> dict[str, str]:
         # (max(16, ceil(sqrt(n_docs)))) applied BEFORE sizes and the
         # self-join — the capped-universe jaccard
         "ngram_jaccard_capped": """
+            WITH raw AS (
+              SELECT doc_id, unnest(list_distinct(
+                list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                               i -> array_to_string(w[i:i+2], ' '))
+              )) AS g
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                    FROM documents)
+            ), cap AS (
+              SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, g FROM raw
+              WHERE g IN (SELECT g FROM raw GROUP BY g
+                          HAVING count(*) <= (SELECT c FROM cap))
+            ), sizes AS (
+              SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM grams a JOIN grams b USING (g)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(common::DOUBLE / (sa.sz + sb.sz - common), 4) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                       JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(common::DOUBLE / (sa.sz + sb.sz - common), 4) >= 0.1
+        """,
+        # manifest-fed cap (LakeTable.ngram_dedup_pairs) must equal the
+        # data-derived cap: same oracle as ngram_jaccard_capped
+        "ngram_jaccard_table": """
             WITH raw AS (
               SELECT doc_id, unnest(list_distinct(
                 list_transform(generate_series(1, greatest(len(w)-2, 1)),
