@@ -108,12 +108,21 @@ def parse_args(argv):
     tg.add_argument("--name", required=True)
     tg.add_argument("--at-version", type=int, default=None,
                     help="version to pin (default: current)")
+    tg.add_argument("--max-age-ms", type=int, default=None,
+                    help="Iceberg RETAIN / max-ref-age-ms: expiry drops "
+                         "the tag once its snapshot is this old "
+                         "(default: pinned until dropped)")
 
     dt = sub.add_parser("drop-tag")
     dt.add_argument("--name", required=True)
 
     cb = sub.add_parser("create-branch")
     cb.add_argument("--name", required=True)
+    cb.add_argument("--max-age-ms", type=int, default=None,
+                    help="Iceberg max-ref-age-ms: expiry drops the "
+                         "branch once its TIP is this old, so a "
+                         "forgotten audit branch cannot pin history "
+                         "forever (default: pinned until dropped)")
     cb.add_argument("--at-version", type=int, default=None,
                     help="historical fork point (default: current tip; "
                          "historical forks are inspect/backfill-only — "
@@ -224,11 +233,15 @@ def main(argv=None) -> int:
         rows = t.lookup(args.keys.split(",")).limit(args.limit).collect()
         out = {"rows": [r.asDict() for r in rows]}
     elif args.cmd == "create-tag":
-        out = t.create_tag(args.name, version=args.at_version)
+        out = t.create_tag(
+            args.name, version=args.at_version, max_age_ms=args.max_age_ms
+        )
     elif args.cmd == "drop-tag":
         out = t.drop_tag(args.name)
     elif args.cmd == "create-branch":
-        out = t.create_branch(args.name, version=args.at_version)
+        out = t.create_branch(
+            args.name, version=args.at_version, max_age_ms=args.max_age_ms
+        )
     elif args.cmd == "drop-branch":
         out = t.drop_branch(args.name)
     elif args.cmd == "fast-forward":

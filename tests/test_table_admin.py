@@ -177,3 +177,7 @@ def test_admin_branch_wap_lifecycle(spark, tmp_path, table, capsys):
     out = _run(capsys, p, "drop-branch", "--name", "stage")
     assert out["dropped"] == "stage"
     assert "stage" not in table.branches()
+    # retention flag plumbs through to the ref property (Iceberg RETAIN)
+    _run(capsys, p, "create-branch", "--name", "aged", "--max-age-ms", "1")
+    assert table.current().ref_retention.get("branch:aged") == 1
+    _run(capsys, p, "drop-branch", "--name", "aged")
