@@ -322,10 +322,23 @@ def _load_manifest(meta_dir: str, relpath: str) -> list[dict[str, Any]]:
     """Load one manifest file's entries, stamping each with its source
     manifest (``_mf``) and that manifest's entry count (``_mfn``) — the
     provenance _commit's reuse check keys on. Transient keys, never
-    serialized."""
+    serialized.
+
+    Entries also get an explicit ``spec_n`` from the manifest's own
+    group (every file in a group was written under that spec — the
+    group key encodes it), so hydrated entries never fall back to the
+    snapshot's CURRENT spec. This is what lets set_num_buckets be a
+    pure metadata commit on sharded tables: old manifests need no
+    rewrite because their spec travels with them, Iceberg's
+    spec-id-per-manifest semantics."""
     with open(os.path.join(meta_dir, relpath)) as fh:
-        ents = json.load(fh)["files"]
+        doc = json.load(fh)
+    ents = doc["files"]
+    grp = doc.get("group", "")
+    spec = int(grp.split("-b")[0][1:]) if grp.startswith("s") else None
     for e in ents:
+        if spec is not None:
+            e.setdefault("spec_n", spec)
         e["_mf"] = relpath
         e["_mfn"] = len(ents)
     return ents
@@ -2043,9 +2056,24 @@ class LakeTable:
             return {"version": snap.version, "skipped": True}
         if new_n < 1:
             raise LoadError("num_buckets must be >= 1")
-        specs = {_file_spec(f, snap) for f in snap.files} | {
-            snap.num_buckets
-        }
+        lazy = (
+            "files" not in snap.__dict__
+            and snap.__dict__.get("_files_loader") is not None
+        )
+        if lazy:
+            # sharded table: every manifest summary carries its spec,
+            # and hydration stamps entries from their manifest's group
+            # (_load_manifest) — so no entry ever falls back to the new
+            # current spec and NO manifest needs rewriting. Spec
+            # evolution on a 10^6-file table is one O(groups) snapshot
+            # JSON, zero manifest bytes read or written.
+            specs = {int(m["spec_n"]) for m in snap.manifest_list} | {
+                snap.num_buckets
+            }
+        else:
+            specs = {_file_spec(f, snap) for f in snap.files} | {
+                snap.num_buckets
+            }
         for s in specs:
             if not (new_n % s == 0 or s % new_n == 0):
                 raise LoadError(
@@ -2053,15 +2081,18 @@ class LakeTable:
                     f"every live spec (violates {s}); evolve through a "
                     "compatible intermediate or compact() first"
                 )
-        files = []
-        for f in snap.files:
-            # copy WITHOUT the _mf provenance keys: the stamped spec_n
-            # must reach disk, so the group may not reuse its parent
-            # manifest (see _shard_manifests)
-            g = {k: v for k, v in f.items() if not k.startswith("_")}
-            g.setdefault("spec_n", snap.num_buckets)
-            files.append(g)
-        new_snap = snap.child(num_buckets=new_n, files=files)
+        if lazy:
+            new_snap = snap.child(num_buckets=new_n)
+        else:
+            files = []
+            for f in snap.files:
+                # copy WITHOUT the _mf provenance keys: the stamped
+                # spec_n must reach disk, so the group may not reuse
+                # its parent manifest (see _shard_manifests)
+                g = {k: v for k, v in f.items() if not k.startswith("_")}
+                g.setdefault("spec_n", snap.num_buckets)
+                files.append(g)
+            new_snap = snap.child(num_buckets=new_n, files=files)
         self._commit(new_snap)
         return {
             "version": new_snap.version,
@@ -2759,22 +2790,45 @@ class LakeTable:
         return df.withColumn(_BUCKET, bucket_expr(snap.bucket_col, snap.num_buckets))
 
     def append(self, df: DataFrame, lsn_col: str | None = None) -> dict[str, Any]:
-        """Blind append (reference DeltaLoader Append mode)."""
+        """Blind append (reference DeltaLoader Append mode).
+
+        On a sharded table the commit is a group-edit: only the groups
+        that RECEIVE new files have their manifests loaded and
+        rewritten; every other group's manifest is reused by pointer —
+        an append-only ingest on a 10^6-file table never hydrates the
+        full file list."""
         snap = self.current()
         out = self._prepare_rows(df, snap, lsn_col)
-        new = snap.child(
-            files=snap.files
-            + self._write_files(
-                self._with_bucket(out, snap),
-                snap.version + 1,
-                snap.num_buckets,
-                props=snap.props,
-                epoch=snap.epoch,
-                ts_col=snap.order_cols[0],
-                sort_cols=_sort_order(snap),
-                key_col=snap.bucket_col,
-            ),
+        new_files = self._write_files(
+            self._with_bucket(out, snap),
+            snap.version + 1,
+            snap.num_buckets,
+            props=snap.props,
+            epoch=snap.epoch,
+            ts_col=snap.order_cols[0],
+            sort_cols=_sort_order(snap),
+            key_col=snap.bucket_col,
         )
+        lazy = (
+            "files" not in snap.__dict__
+            and snap.__dict__.get("_files_loader") is not None
+        )
+        if lazy:
+            by_path = {m["group"]: m["path"] for m in snap.manifest_list}
+            edits: dict[str, list[dict[str, Any]]] = {}
+            for f in new_files:
+                gk = _group_key(f, snap)
+                if gk not in edits:
+                    edits[gk] = (
+                        _load_manifest(self.meta_dir, by_path[gk])
+                        if gk in by_path
+                        else []
+                    )
+                edits[gk].append(f)
+            new = snap.child()
+            new.__dict__["_group_edits"] = edits
+        else:
+            new = snap.child(files=snap.files + new_files)
         self._commit(new)
         return {"version": new.version, "mode": "append"}
 
@@ -3014,11 +3068,29 @@ class LakeTable:
         atomically; concurrent readers keep their snapshot."""
         snap = self.current()
         sel = None if buckets is None else set(buckets)
-        target = [
-            f
-            for f in snap.files
-            if sel is None or _file_overlaps(f, sel, snap)
-        ]
+        # targeted compact on a sharded table stays O(selected buckets)
+        # in the metadata plane: a group's files all share its
+        # (spec, bucket), so group-level overlap IS file-level overlap
+        # — only the selected groups' manifests are ever loaded, and
+        # the commit below reuses every other group's manifest by
+        # pointer (the StreamDriver's compact_every maintenance never
+        # pays an O(table-files) metadata read)
+        lazy = (
+            sel is not None
+            and "files" not in snap.__dict__
+            and snap.__dict__.get("_files_loader") is not None
+        )
+        if lazy:
+            target = []
+            for m in snap.manifest_list:
+                if _file_overlaps(m, sel, snap):
+                    target.extend(_load_manifest(self.meta_dir, m["path"]))
+        else:
+            target = [
+                f
+                for f in snap.files
+                if sel is None or _file_overlaps(f, sel, snap)
+            ]
         if not target:
             return {"version": snap.version, "skipped": True}
         touched = sorted(
@@ -3059,11 +3131,35 @@ class LakeTable:
             sort_cols=_sort_order(snap),
             key_col=snap.bucket_col,
         )
-        target_paths = {f["path"] for f in target}
-        new_snap = snap.child(
-            files=[f for f in snap.files if f["path"] not in target_paths]
-            + new_files,
-        )
+        if lazy:
+            # selected groups are fully rewritten (emptied); compacted
+            # output lands in its current-spec groups — possibly ones
+            # not selected, when a coarser old-spec file's sibling rows
+            # migrate (the delta-append case loads that group's prior
+            # entries once)
+            edits: dict[str, list[dict[str, Any]]] = {
+                m["group"]: []
+                for m in snap.manifest_list
+                if _file_overlaps(m, sel, snap)
+            }
+            by_path = {m["group"]: m["path"] for m in snap.manifest_list}
+            for f in new_files:
+                gk = _group_key(f, snap)
+                if gk not in edits:
+                    edits[gk] = (
+                        _load_manifest(self.meta_dir, by_path[gk])
+                        if gk in by_path
+                        else []
+                    )
+                edits[gk].append(f)
+            new_snap = snap.child()
+            new_snap.__dict__["_group_edits"] = edits
+        else:
+            target_paths = {f["path"] for f in target}
+            new_snap = snap.child(
+                files=[f for f in snap.files if f["path"] not in target_paths]
+                + new_files,
+            )
         self._commit(new_snap)
         return {
             "version": new_snap.version,

@@ -408,6 +408,159 @@ def test_expire_snapshots_collects_dead_manifests(spark, tmp_path):
         assert t.snapshot(v).files is not None
 
 
+def test_append_is_group_edit_on_sharded_table(
+    spark, tmp_path, monkeypatch
+):
+    """A blind append on a sharded table never hydrates the full file
+    list: only the groups RECEIVING files load their prior manifest
+    (one here), every other group's manifest is reused by pointer, and
+    exactly one new manifest is written — append-only ingest stays
+    O(appended buckets) in the metadata plane."""
+    import etl_rs_spark.sinks.lake as lake_mod
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=32)
+    wide = spark.range(320).select(
+        F.format_string("c%d", F.col("id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+    )
+    t.merge(wide, run_id="r", batch_id=0)
+    before = _manifest_files(t)
+
+    loads = []
+    real = lake_mod._load_manifest
+
+    def counting(meta_dir, relpath):
+        loads.append(relpath)
+        return real(meta_dir, relpath)
+
+    monkeypatch.setattr(lake_mod, "_load_manifest", counting)
+    one = spark.createDataFrame(
+        [("c7", 99)], "conv_id string, turn_idx int"
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1700099999)))
+    t.append(one)
+    monkeypatch.setattr(lake_mod, "_load_manifest", real)
+    assert len(loads) == 1, loads  # only the receiving group's manifest
+    assert len(_manifest_files(t) - before) == 1
+    assert t.read().count() == 321
+    assert t.lookup("c7").count() == 2  # old merged row + appended row
+
+
+def test_targeted_compact_loads_only_selected_groups(
+    spark, tmp_path, monkeypatch
+):
+    """compact(buckets=[b]) on a sharded table loads exactly the
+    selected groups' manifests (here 1 of 32), folds that bucket's
+    small files into one, and reuses every other group's manifest by
+    pointer — the StreamDriver's periodic maintenance never pays an
+    O(table-files) metadata read."""
+    import etl_rs_spark.sinks.lake as lake_mod
+    from etl_rs_spark.functions.xxh64 import bucket_of
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=32)
+    wide = spark.range(320).select(
+        F.format_string("c%d", F.col("id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+    )
+    t.merge(wide, run_id="r", batch_id=0)
+    b = bucket_of("c7", "string", 32)
+
+    def files_in(bucket):
+        return sum(
+            m["n_files"]
+            for m in t.current().manifest_list
+            if m["bucket"] == bucket
+        )
+
+    base_n = files_in(b)
+    # two appends stack small files into c7's bucket
+    for k in range(2):
+        t.append(
+            spark.createDataFrame(
+                [("c7", 100 + k)], "conv_id string, turn_idx int"
+            ).withColumn("ts", F.timestamp_seconds(F.lit(1700099999)))
+        )
+    n_in_group = files_in(b)
+    assert n_in_group == base_n + 2
+
+    loads = []
+    real = lake_mod._load_manifest
+
+    def counting(meta_dir, relpath):
+        loads.append(relpath)
+        return real(meta_dir, relpath)
+
+    monkeypatch.setattr(lake_mod, "_load_manifest", counting)
+    res = t.compact(buckets=[b])
+    monkeypatch.setattr(lake_mod, "_load_manifest", real)
+    assert res["files_before"] == n_in_group and res["files_after"] == 1
+    assert len(loads) == 1, loads  # only the selected group's manifest
+    assert t.read().count() == 322
+    assert t.lookup("c7").count() == 3
+
+
+def test_set_num_buckets_lazy_zero_manifest_io(spark, tmp_path, monkeypatch):
+    """Spec evolution on a sharded table is a PURE metadata commit:
+    zero manifests read (the live-spec check uses manifest-list
+    summaries) and zero manifests written (hydration stamps each
+    entry's spec from its manifest's group, so old manifests need no
+    rewrite). Reads, bucket-restricted reads and lookups stay row-exact
+    across the mixed-spec window."""
+    import etl_rs_spark.sinks.lake as lake_mod
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=4)
+    wide = spark.range(60).select(
+        F.format_string("c%d", F.col("id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+    )
+    t.merge(wide, run_id="r", batch_id=0)
+    before = _manifest_files(t)
+
+    loads = []
+    real = lake_mod._load_manifest
+
+    def counting(meta_dir, relpath):
+        loads.append(relpath)
+        return real(meta_dir, relpath)
+
+    monkeypatch.setattr(lake_mod, "_load_manifest", counting)
+    t.set_num_buckets(8)
+    monkeypatch.setattr(lake_mod, "_load_manifest", real)
+    assert loads == []  # zero manifest reads
+    assert _manifest_files(t) == before  # zero manifest writes
+    snap = t.current()
+    assert snap.num_buckets == 8
+    # hydration stamps the old spec from each manifest's group
+    assert all(f["spec_n"] == 4 for f in snap.files)
+    assert t.read().count() == 60
+    for B in (0, 5, 7):
+        got = t.read(buckets=[B]).count()
+        want = t.read().where(bucket_expr("conv_id", 8) == B).count()
+        assert got == want, (B, got, want)
+    assert t.lookup("c3").count() == 1
+    # a post-evolution merge still routes and reads correctly
+    import datetime as dt
+
+    t.merge(
+        spark.createDataFrame(
+            [("c3", 0, dt.datetime(2025, 1, 1), 10_000, "U")],
+            "conv_id string, turn_idx int, ts timestamp, lsn long, op string",
+        ),
+        run_id="r",
+        batch_id=1,
+    )
+    assert t.lookup("c3").first().ts == dt.datetime(2025, 1, 1)
+    assert t.read().count() == 60
+
+
 def test_applied_log_capped_with_lww_backstop(spark, tmp_path):
     """The exactly-once (run_id -> batch) log is bounded by
     write.applied.max-runs; an evicted run's replayed batch re-merges
