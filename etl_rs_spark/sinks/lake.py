@@ -2440,34 +2440,51 @@ class LakeTable:
         # keep the metadata-pruned scan.
         # bucket identity under the CURRENT spec (exact across bucket-
         # spec evolution: _expand_to_current)
-        # a sharded, delta-free snapshot (the steady CoW state) prunes
-        # at the MANIFEST level: groups wholly at or below the
-        # watermark are never even loaded, so an incremental window on
-        # a long table reads O(changed groups) driver metadata
-        if (
-            "files" not in snap.__dict__
-            and snap.manifest_list
-            and not any(m.get("deltas") for m in snap.manifest_list)
-        ):
-            scan_pool = self._candidate_files(snap, lsn_gt=wm)
+        # a sharded snapshot prunes at the MANIFEST level, deltas or
+        # not: delta coverage and dirty buckets come from the summary
+        # line's per-group delta counts and lsn ranges (EXACT — every
+        # file in a group shares the group's bucket coverage, so
+        # group-level overlap is file-level overlap), groups wholly at
+        # or below the watermark are never even loaded, and dirty
+        # groups' manifests load only for the LWW-resolve pool below.
+        # An incremental window on a long MoR table therefore reads
+        # O(changed groups) driver metadata, never O(table files).
+        lazy_meta = "files" not in snap.__dict__ and bool(snap.manifest_list)
+        delta_cov: set[int] = set()
+        dirty: set[int] = set()
+        if lazy_meta:
+            for m in snap.manifest_list:
+                if m.get("deltas"):
+                    delta_cov |= _expand_to_current(m, snap)
+            for m in snap.manifest_list:
+                if (
+                    m.get("max_lsn") is None or m["max_lsn"] > wm
+                ) and _file_overlaps(m, delta_cov, snap):
+                    dirty |= _expand_to_current(m, snap) & delta_cov
+            files = [
+                f
+                for m in snap.manifest_list
+                if not _file_overlaps(m, dirty, snap)
+                and (m.get("max_lsn") is None or m["max_lsn"] > wm)
+                for f in _load_manifest(self.meta_dir, m["path"])
+                if f.get("max_lsn") is None or f["max_lsn"] > wm
+            ]
         else:
             scan_pool = snap.files
-        delta_cov: set[int] = set()
-        for f in scan_pool:
-            if f.get("kind") == "delta":
-                delta_cov |= _expand_to_current(f, snap)
-        dirty: set[int] = set()
-        for f in scan_pool:
-            if (
-                f.get("max_lsn") is None or f["max_lsn"] > wm
-            ) and _file_overlaps(f, delta_cov, snap):
-                dirty |= _expand_to_current(f, snap) & delta_cov
-        files = [
-            f
-            for f in scan_pool
-            if not _file_overlaps(f, dirty, snap)
-            and (f.get("max_lsn") is None or f["max_lsn"] > wm)
-        ]
+            for f in scan_pool:
+                if f.get("kind") == "delta":
+                    delta_cov |= _expand_to_current(f, snap)
+            for f in scan_pool:
+                if (
+                    f.get("max_lsn") is None or f["max_lsn"] > wm
+                ) and _file_overlaps(f, delta_cov, snap):
+                    dirty |= _expand_to_current(f, snap) & delta_cov
+            files = [
+                f
+                for f in scan_pool
+                if not _file_overlaps(f, dirty, snap)
+                and (f.get("max_lsn") is None or f["max_lsn"] > wm)
+            ]
         df = _scan(files)
         changed = df.where(F.col(LSN_COL) > wm)
         if dirty:
@@ -2476,7 +2493,7 @@ class LakeTable:
                 _scan(
                     [
                         f
-                        for f in snap.files
+                        for f in self._candidate_files(snap, buckets=dirty)
                         if _file_overlaps(f, dirty, snap)
                     ]
                 ),

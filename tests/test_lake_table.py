@@ -561,6 +561,58 @@ def test_set_num_buckets_lazy_zero_manifest_io(spark, tmp_path, monkeypatch):
     assert t.read().count() == 60
 
 
+def test_changes_on_sharded_mor_loads_only_changed_groups(
+    spark, tmp_path, monkeypatch
+):
+    """An incremental changes() window on a sharded merge-on-read table
+    prunes at the MANIFEST level even when unresolved deltas exist:
+    delta coverage and dirty buckets come from the summary line, groups
+    wholly at or below the from-watermark are never loaded, and only
+    the dirty group's manifest is read for the LWW resolve — O(changed
+    groups), never the table's full file list. Feed stays net-exact."""
+    import etl_rs_spark.sinks.lake as lake_mod
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        DDL,
+        num_buckets=32,
+        props={"write.merge.mode": "merge-on-read", "write.delta.max-files": 8},
+    )
+    wide = spark.range(320).select(
+        F.format_string("c%d", F.col("id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+    )
+    t.merge(wide, run_id="r", batch_id=0)
+    v1 = t.current().version
+    one = spark.createDataFrame(
+        [("c7", 0, 10_000, "U")],
+        "conv_id string, turn_idx int, lsn long, op string",
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1700099999)))
+    t.merge(one, run_id="r", batch_id=1)
+    assert any(m.get("deltas") for m in t.current().manifest_list)
+
+    loads = []
+    real = lake_mod._load_manifest
+
+    def counting(meta_dir, relpath):
+        loads.append(relpath)
+        return real(meta_dir, relpath)
+
+    monkeypatch.setattr(lake_mod, "_load_manifest", counting)
+    feed = t.changes(v1).toPandas()
+    monkeypatch.setattr(lake_mod, "_load_manifest", real)
+    # only the dirty group's manifest (the one holding c7's delta);
+    # the other 31 groups sit below the watermark and are never loaded
+    assert len(set(loads)) == 1, loads
+    assert list(feed.conv_id) == ["c7"]
+    assert list(feed._change_type) == ["upsert"]
+    assert int(feed._lsn.iloc[0]) == 10_000
+
+
 def test_applied_log_capped_with_lww_backstop(spark, tmp_path):
     """The exactly-once (run_id -> batch) log is bounded by
     write.applied.max-runs; an evicted run's replayed batch re-merges
