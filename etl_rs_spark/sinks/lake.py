@@ -1700,9 +1700,60 @@ class LakeTable:
         """The manifest as a queryable DataFrame (Iceberg's ``t.files``
         metadata table): one row per live data file with its bucket,
         row count, LSN/event-time/key ranges, MoR kind, write spec and
-        epoch, and whether it carries a key bloom. Driver-built from
-        metadata already in memory — no data files touched."""
+        epoch, and whether it carries a key bloom.
+
+        On a sharded snapshot this is a DISTRIBUTED read of the
+        manifest files themselves (exactly how Iceberg serves its
+        ``files`` table): the driver ships O(groups) paths, executors
+        parse and explode the entries, and a 10^6-file table never
+        materializes its file list in driver memory. Hydrated / legacy
+        snapshots build the same schema from the in-memory list."""
         snap = self.current() if version is None else self.snapshot(version)
+        out_ddl = (
+            "path string, bucket int, rows long, min_lsn long, "
+            "max_lsn long, min_ts long, max_ts long, min_key string, "
+            "max_key string, kind string, spec_n int, epoch int, "
+            "has_key_bloom boolean"
+        )
+        if "files" not in snap.__dict__ and snap.manifest_list:
+            paths = [
+                os.path.join(self.meta_dir, m["path"])
+                for m in snap.manifest_list
+            ]
+            ent = (
+                "group string, files array<struct<path:string,"
+                "bucket:int,rows:long,min_lsn:long,max_lsn:long,"
+                "min_ts:long,max_ts:long,min_key:string,max_key:string,"
+                "kind:string,spec_n:int,epoch:int,key_bloom:string>>"
+            )
+            raw = (
+                self.spark.read.schema(ent)
+                .option("multiLine", True)
+                .json(paths)
+            )
+            f = F.col("f")
+            return raw.select(
+                "group", F.explode("files").alias("f")
+            ).select(
+                f["path"].alias("path"),
+                f["bucket"].alias("bucket"),
+                F.coalesce(f["rows"], F.lit(0)).alias("rows"),
+                f["min_lsn"].alias("min_lsn"),
+                f["max_lsn"].alias("max_lsn"),
+                f["min_ts"].alias("min_ts"),
+                f["max_ts"].alias("max_ts"),
+                f["min_key"].alias("min_key"),
+                f["max_key"].alias("max_key"),
+                F.coalesce(f["kind"], F.lit("base")).alias("kind"),
+                # entries written under the current spec may omit
+                # spec_n; the group key encodes it (see _load_manifest)
+                F.coalesce(
+                    f["spec_n"],
+                    F.regexp_extract("group", r"^s(\d+)-b", 1).cast("int"),
+                ).alias("spec_n"),
+                F.coalesce(f["epoch"], F.lit(0)).alias("epoch"),
+                f["key_bloom"].isNotNull().alias("has_key_bloom"),
+            )
         rows = [
             (
                 f["path"],
@@ -1721,13 +1772,7 @@ class LakeTable:
             )
             for f in snap.files
         ]
-        return self.spark.createDataFrame(
-            rows,
-            "path string, bucket int, rows long, min_lsn long, "
-            "max_lsn long, min_ts long, max_ts long, min_key string, "
-            "max_key string, kind string, spec_n int, epoch int, "
-            "has_key_bloom boolean",
-        )
+        return self.spark.createDataFrame(rows, out_ddl)
 
     def inspect_snapshots(self) -> DataFrame:
         """Surviving snapshot history as a DataFrame (Iceberg's
