@@ -3049,7 +3049,11 @@ class LakeTable:
             "manifests_deleted": removed_manifests,
         }
 
-    def vacuum_orphans(self, older_than_s: float = 3 * 3600) -> dict[str, Any]:
+    def vacuum_orphans(
+        self,
+        older_than_s: float = 3 * 3600,
+        distributed: bool = False,
+    ) -> dict[str, Any]:
         """Delete data files referenced by NO snapshot (Iceberg
         remove_orphan_files): a writer that crashed between
         _write_files and _commit leaves its files on disk but in no
@@ -3062,31 +3066,138 @@ class LakeTable:
         has exactly such files on disk, and deleting them would corrupt
         its imminent commit (Iceberg's remove_orphan_files defaults to
         older-than-3-days for the same reason). Pass 0 only when no
-        writer can be running."""
-        live: set[str] = set()
+        writer can be running.
+
+        ``distributed=True`` is the 100-TB shape — exactly how
+        Iceberg's remove_orphan_files runs as a Spark action: the
+        storage LISTING is a parallelized walk over the table's
+        commit directories, the LIVE set comes from executors parsing
+        the manifest files (no driver-side file-list hydration — the
+        driver never holds more than O(groups) manifest paths), and
+        liveness is a left-anti join. Only the orphan rows — crash
+        residue, small by construction — are collected and deleted.
+        The join key is the path's last three components
+        (``commit-<uuid>/__b=N/part-<uuid>.parquet``), which is
+        collision-free by the uuids and invariant to how the table
+        root was spelled when each writer opened it."""
         live_meta: set[str] = set()
-        for p in glob.glob(os.path.join(self.meta_dir, "version-*.json")):
-            v = int(p.split("version-")[1].split(".")[0])
-            s = self.snapshot(v)
-            live.update(f["path"] for f in s.files)
-            live_meta.update(m["path"] for m in s.manifest_list)
-            live_meta.update(s.wm_segments)
-        live_abs = {os.path.abspath(x) for x in live}
         removed = skipped_young = 0
         cutoff = time.time() - older_than_s
-        for p in glob.glob(
-            os.path.join(self.data_dir, "**", "*.parquet"), recursive=True
-        ):
-            if os.path.abspath(p) in live_abs:
-                continue
-            try:
-                if os.path.getmtime(p) > cutoff:
-                    skipped_young += 1
+        if distributed:
+            mf_rel: set[str] = set()
+            inline: list[str] = []
+            for p in glob.glob(os.path.join(self.meta_dir, "version-*.json")):
+                v = int(p.split("version-")[1].split(".")[0])
+                s = self.snapshot(v)
+                if s.manifest_list:
+                    mf_rel.update(m["path"] for m in s.manifest_list)
+                else:  # legacy inline-files snapshot: paths ride the JSON
+                    inline.extend(f["path"] for f in s.files)
+                live_meta.update(m["path"] for m in s.manifest_list)
+                live_meta.update(s.wm_segments)
+
+            def sfx(c: F.Column) -> F.Column:
+                return F.substring_index(c, "/", -3)
+
+            live_df = None
+            if mf_rel:
+                raw = (
+                    self.spark.read.schema(
+                        "files array<struct<path:string>>"
+                    )
+                    .option("multiLine", True)
+                    .json(
+                        [
+                            os.path.join(self.meta_dir, r)
+                            for r in sorted(mf_rel)
+                        ]
+                    )
+                )
+                live_df = raw.select(
+                    F.explode("files").alias("f")
+                ).select(sfx(F.col("f.path")).alias("sfx"))
+            if inline:
+                idf = self.spark.createDataFrame(
+                    [(x,) for x in inline], "p string"
+                ).select(sfx(F.col("p")).alias("sfx"))
+                live_df = idf if live_df is None else live_df.unionAll(idf)
+            root = os.path.abspath(self.data_dir)
+            subdirs = sorted(
+                e.path for e in os.scandir(root) if e.is_dir()
+            )
+
+            def walk(dirs):
+                import os as _os
+
+                for d in dirs:
+                    for dirpath, _unused, names in _os.walk(d):
+                        for n in names:
+                            if not n.endswith(".parquet"):
+                                continue
+                            p = _os.path.join(dirpath, n)
+                            try:
+                                yield (p, _os.path.getmtime(p))
+                            except OSError:
+                                pass  # raced with a concurrent delete
+
+            loose = [  # parquet directly under data/: never written by
+                # the engine, but the driver path would see them
+                (e.path, os.path.getmtime(e.path))
+                for e in os.scandir(root)
+                if e.is_file() and e.name.endswith(".parquet")
+            ]
+            if subdirs or loose:
+                listed = self.spark.createDataFrame(
+                    self.spark.sparkContext.parallelize(
+                        subdirs, max(1, len(subdirs))
+                    ).mapPartitions(walk),
+                    "path string, mtime double",
+                )
+                if loose:
+                    listed = listed.unionAll(
+                        self.spark.createDataFrame(
+                            loose, "path string, mtime double"
+                        )
+                    )
+                listed = listed.select(
+                    "path", "mtime", sfx(F.col("path")).alias("sfx")
+                )
+                if live_df is not None:
+                    orphans = listed.join(live_df, on="sfx", how="left_anti")
+                else:
+                    orphans = listed
+                for r in orphans.select("path", "mtime").collect():
+                    if r["mtime"] > cutoff:
+                        skipped_young += 1
+                        continue
+                    try:
+                        os.remove(r["path"])
+                        removed += 1
+                    except FileNotFoundError:
+                        pass
+        else:
+            live: set[str] = set()
+            for p in glob.glob(os.path.join(self.meta_dir, "version-*.json")):
+                v = int(p.split("version-")[1].split(".")[0])
+                s = self.snapshot(v)
+                live.update(f["path"] for f in s.files)
+                live_meta.update(m["path"] for m in s.manifest_list)
+                live_meta.update(s.wm_segments)
+            live_abs = {os.path.abspath(x) for x in live}
+            for p in glob.glob(
+                os.path.join(self.data_dir, "**", "*.parquet"),
+                recursive=True,
+            ):
+                if os.path.abspath(p) in live_abs:
                     continue
-                os.remove(p)
-                removed += 1
-            except FileNotFoundError:
-                pass
+                try:
+                    if os.path.getmtime(p) > cutoff:
+                        skipped_young += 1
+                        continue
+                    os.remove(p)
+                    removed += 1
+                except FileNotFoundError:
+                    pass
         # manifest/segment files referenced by NO snapshot: residue of a
         # writer that crashed between _shard_manifests and _commit. Same
         # age gate — an in-flight writer has exactly such files.

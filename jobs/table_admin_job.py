@@ -99,6 +99,11 @@ def parse_args(argv):
 
     v = sub.add_parser("vacuum")
     v.add_argument("--older-than-s", type=float, default=3 * 3600)
+    v.add_argument("--distributed", action="store_true",
+                   help="run listing + liveness as Spark jobs "
+                        "(Iceberg's remove_orphan_files action shape; "
+                        "use on large tables — the driver never holds "
+                        "the file list)")
 
     lk = sub.add_parser("lookup")
     lk.add_argument("--keys", required=True)
@@ -228,7 +233,9 @@ def main(argv=None) -> int:
     elif args.cmd == "expire-snapshots":
         out = t.expire_snapshots(keep_last=args.keep_last)
     elif args.cmd == "vacuum":
-        out = t.vacuum_orphans(older_than_s=args.older_than_s)
+        out = t.vacuum_orphans(
+            older_than_s=args.older_than_s, distributed=args.distributed
+        )
     elif args.cmd == "lookup":
         rows = t.lookup(args.keys.split(",")).limit(args.limit).collect()
         out = {"rows": [r.asDict() for r in rows]}

@@ -796,6 +796,86 @@ def test_vacuum_orphans_removes_only_unreferenced(spark, tmp_path):
     assert t.read().count() == 3
 
 
+def test_vacuum_orphans_distributed(spark, tmp_path, monkeypatch):
+    """The distributed vacuum (Iceberg's remove_orphan_files as a
+    Spark action) finds the same orphans as the driver path with ZERO
+    driver-side manifest loads and zero file-list hydrations: listing
+    is a parallelized walk, the live set is an executor-side manifest
+    parse, liveness a left-anti join. Old orphans (deep and root-level)
+    go, young ones and every live file stay, the table reads exactly
+    as before — across a spec evolution and a legacy-style check."""
+    import glob as _glob
+    import os as _os
+
+    import etl_rs_spark.sinks.lake as lake_mod
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=4)
+    wide = spark.range(50).select(
+        F.format_string("c%d", F.col("id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("lsn"),
+        F.lit("I").alias("op"),
+    )
+    t.merge(wide, run_id="r", batch_id=0)
+    t.set_num_buckets(8)
+    t.append(
+        spark.createDataFrame(
+            [("c3", 77)], "conv_id string, turn_idx int"
+        ).withColumn("ts", F.timestamp_seconds(F.lit(1700099999)))
+    )
+    live_before = set(
+        _glob.glob(
+            _os.path.join(t.data_dir, "**", "*.parquet"), recursive=True
+        )
+    )
+    rows_before = t.read().count()
+    # crashed-writer residue: one deep orphan (aged), one root-level
+    # orphan (aged), one young deep orphan
+    crash_dir = _os.path.join(t.data_dir, "commit-99999999-deadbeef", "__b=0")
+    _os.makedirs(crash_dir)
+    pdf = spark.createDataFrame([("x", 9)], "k string, v int").toPandas()
+    old_deep = _os.path.join(crash_dir, "part-orphan-a.snappy.parquet")
+    old_root = _os.path.join(t.data_dir, "orphan-root.parquet")
+    young = _os.path.join(crash_dir, "part-orphan-b.snappy.parquet")
+    for p in (old_deep, old_root, young):
+        pdf.to_parquet(p)
+    stale = 1, 1  # atime, mtime far in the past
+    _os.utime(old_deep, stale)
+    _os.utime(old_root, stale)
+
+    loads = []
+    real = lake_mod._load_manifest
+
+    def counting(meta_dir, relpath):
+        loads.append(relpath)
+        return real(meta_dir, relpath)
+
+    monkeypatch.setattr(lake_mod, "_load_manifest", counting)
+    stats = t.vacuum_orphans(distributed=True)
+    monkeypatch.setattr(lake_mod, "_load_manifest", real)
+    assert loads == []  # executors parsed the manifests, not the driver
+    assert stats["orphans_deleted"] == 2
+    assert stats["skipped_young"] == 1
+    assert not _os.path.exists(old_deep) and not _os.path.exists(old_root)
+    assert _os.path.exists(young)
+    after = set(
+        _glob.glob(
+            _os.path.join(t.data_dir, "**", "*.parquet"), recursive=True
+        )
+    )
+    assert after == live_before | {young}
+    assert t.read().count() == rows_before
+    # and once the in-flight grace elapses, the young orphan goes too
+    stats = t.vacuum_orphans(older_than_s=0, distributed=True)
+    assert stats["orphans_deleted"] == 1
+    assert after - {young} == set(
+        _glob.glob(
+            _os.path.join(t.data_dir, "**", "*.parquet"), recursive=True
+        )
+    )
+
+
 def test_changes_feed_net_semantics(spark, tmp_path):
     """changes(v) returns exactly the keys whose state changed after v:
     updates/inserts as upsert with final state, deletes as delete; keys
