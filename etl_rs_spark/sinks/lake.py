@@ -2931,7 +2931,9 @@ class LakeTable:
         )
 
     # ------------------------------------------------------ maintenance --
-    def expire_snapshots(self, keep_last: int = 5) -> dict[str, Any]:
+    def expire_snapshots(
+        self, keep_last: int = 5, distributed: bool = False
+    ) -> dict[str, Any]:
         """Drop old snapshot manifests and delete data files referenced
         ONLY by them (Iceberg expire_snapshots). Time travel remains
         available for the kept window; versions pinned by a REF — a tag
@@ -2943,7 +2945,16 @@ class LakeTable:
         Refs created with ``max_age_ms`` (Iceberg's max-ref-age-ms) are
         DROPPED here first once the snapshot they point to is older
         than their limit — aged branches/tags stop pinning history, the
-        un-aged ones keep the full contract above."""
+        un-aged ones keep the full contract above.
+
+        ``distributed=True`` is the 100-TB shape (Iceberg's
+        expire_snapshots Spark action): executors parse the live and
+        dead-only manifests, the files-to-delete set is a left-anti
+        join, and the deletes themselves run in executor tasks — the
+        driver holds only O(manifests) paths and a per-partition delete
+        count, never the file list. That matters exactly when expiry is
+        biggest: right after a full-table compaction, the dead-only
+        manifests hold every pre-compaction file."""
         dropped_refs: list[str] = []
         now_ms = int(time.time() * 1000)
         rr = self._head_snapshot().ref_retention
@@ -3013,21 +3024,32 @@ class LakeTable:
             dead_meta.update(s.wm_segments)
             if not s.manifest_list:
                 dead_candidates.update(f["path"] for f in s.files)
-        for rel in live_meta:
-            if rel.split("/")[-1].startswith("mf-"):
+        live_mf = [
+            r for r in live_meta if r.split("/")[-1].startswith("mf-")
+        ]
+        dead_mf = [
+            r
+            for r in dead_meta - live_meta
+            if r.split("/")[-1].startswith("mf-")
+        ]
+        if distributed:
+            removed_files = self._expire_delete_distributed(
+                live_mf, dead_mf, live, dead_candidates
+            )
+        else:
+            for rel in live_mf:
                 live.update(
                     e["path"] for e in _load_manifest(self.meta_dir, rel)
                 )
-        for rel in dead_meta - live_meta:
-            if rel.split("/")[-1].startswith("mf-"):
+            for rel in dead_mf:
                 dead_candidates.update(
                     e["path"] for e in _load_manifest(self.meta_dir, rel)
                 )
-        removed_files = 0
-        for path in dead_candidates - live:
-            if os.path.exists(path):
-                os.remove(path)
-                removed_files += 1
+            removed_files = 0
+            for path in dead_candidates - live:
+                if os.path.exists(path):
+                    os.remove(path)
+                    removed_files += 1
         for v in versions:
             if v not in keep:
                 os.remove(
@@ -3048,6 +3070,75 @@ class LakeTable:
             "files_deleted": removed_files,
             "manifests_deleted": removed_manifests,
         }
+
+    def _manifest_paths_df(
+        self, mf_rel: Sequence[str], inline: Sequence[str]
+    ) -> DataFrame | None:
+        """Distributed DF of suffix-normalized data-file paths from the
+        given manifest files (parsed on executors) plus any
+        legacy-inline paths; the suffix (last three path components,
+        uuid-bearing — ``commit-<uuid>/__b=N/part-<uuid>.parquet``) is
+        collision-free and invariant to how the table root was spelled
+        when each writer opened it. None when both inputs are empty."""
+        sfx = lambda c: F.substring_index(c, "/", -3)  # noqa: E731
+        out = None
+        if mf_rel:
+            raw = (
+                self.spark.read.schema("files array<struct<path:string>>")
+                .option("multiLine", True)
+                .json(
+                    [os.path.join(self.meta_dir, r) for r in sorted(mf_rel)]
+                )
+            )
+            out = raw.select(F.explode("files").alias("f")).select(
+                sfx(F.col("f.path")).alias("sfx"),
+                F.col("f.path").alias("path"),
+            )
+        if inline:
+            idf = self.spark.createDataFrame(
+                [(x,) for x in inline], "p string"
+            ).select(sfx(F.col("p")).alias("sfx"), F.col("p").alias("path"))
+            out = idf if out is None else out.unionAll(idf)
+        return out
+
+    def _expire_delete_distributed(
+        self,
+        live_mf: Sequence[str],
+        dead_mf: Sequence[str],
+        live_inline: set[str],
+        dead_inline: set[str],
+    ) -> int:
+        """Delete dead-only data files as a Spark action: dead-manifest
+        entries anti-joined against every kept snapshot's entries, the
+        surviving doomed paths deleted inside executor tasks (only a
+        per-partition count returns to the driver)."""
+        dead_df = self._manifest_paths_df(dead_mf, sorted(dead_inline))
+        if dead_df is None:
+            return 0
+        live_df = self._manifest_paths_df(live_mf, sorted(live_inline))
+        doomed = dead_df
+        if live_df is not None:
+            doomed = dead_df.join(
+                live_df.select("sfx"), on="sfx", how="left_anti"
+            )
+        # a path can ride several dead manifests (carried forward
+        # across snapshots): dedupe before deleting so the count is
+        # exact
+        doomed = doomed.select("path").distinct()
+
+        def rm(rows):
+            import os as _os
+
+            n = 0
+            for r in rows:
+                try:
+                    _os.remove(r["path"])
+                    n += 1
+                except FileNotFoundError:
+                    pass
+            yield n
+
+        return sum(doomed.rdd.mapPartitions(rm).collect())
 
     def vacuum_orphans(
         self,
@@ -3099,28 +3190,8 @@ class LakeTable:
             def sfx(c: F.Column) -> F.Column:
                 return F.substring_index(c, "/", -3)
 
-            live_df = None
-            if mf_rel:
-                raw = (
-                    self.spark.read.schema(
-                        "files array<struct<path:string>>"
-                    )
-                    .option("multiLine", True)
-                    .json(
-                        [
-                            os.path.join(self.meta_dir, r)
-                            for r in sorted(mf_rel)
-                        ]
-                    )
-                )
-                live_df = raw.select(
-                    F.explode("files").alias("f")
-                ).select(sfx(F.col("f.path")).alias("sfx"))
-            if inline:
-                idf = self.spark.createDataFrame(
-                    [(x,) for x in inline], "p string"
-                ).select(sfx(F.col("p")).alias("sfx"))
-                live_df = idf if live_df is None else live_df.unionAll(idf)
+            df = self._manifest_paths_df(sorted(mf_rel), inline)
+            live_df = None if df is None else df.select("sfx")
             root = os.path.abspath(self.data_dir)
             subdirs = sorted(
                 e.path for e in os.scandir(root) if e.is_dir()

