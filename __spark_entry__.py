@@ -1279,6 +1279,61 @@ def q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.unionByName(_state("replayed"))
 
 
+def q_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full maintenance lifecycle under the oracle: two CDC merges,
+    RewriteDataFiles-style compaction, then the DISTRIBUTED metadata
+    actions round 5 added — ``expire_snapshots(distributed=True)``
+    (executors diff live vs dead-only manifests, executor tasks delete
+    the pre-compaction files) and ``vacuum_orphans(distributed=True)``
+    (parallelized listing anti-joined against executor-parsed
+    manifests). The surviving table state must hash-equal the full LWW
+    replay — proving the maintenance plane deletes ONLY dead bytes.
+    The expiry is asserted non-trivial (it must actually remove files
+    and versions) so the entry cannot pass vacuously."""
+    import tempfile
+
+    from etl_rs_spark.sinks.lake import LakeTable
+
+    e = _t(spark, sf_dir, "events")
+    split = int(e.agg(F.max("event_id")).first()[0]) // 2
+
+    def _batch(pred):
+        return lww_dedup(
+            e.where(pred).select(
+                F.col("user_id").cast("string").alias("conv_id"),
+                F.lit(0).alias("turn_idx"),
+                F.col("ts").cast("timestamp").alias("ts"),
+                F.col("event_id").alias("lsn"),
+                F.when(F.col("event_type") == "error", F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+                F.round("value", 2).alias("value"),
+            ),
+            keys=["conv_id", "turn_idx"],
+            order_cols=["ts", "lsn"],
+        )
+
+    work = tempfile.mkdtemp(prefix="maint-entry-")
+    t = LakeTable.create(
+        spark,
+        f"{work}/t",
+        "conv_id string, turn_idx int, value double, ts timestamp",
+        num_buckets=8,
+    )
+    t.merge(_batch(F.col("event_id") <= split), run_id="mx", batch_id=0)
+    t.merge(_batch(F.col("event_id") > split), run_id="mx", batch_id=1)
+    t.compact()
+    exp = t.expire_snapshots(keep_last=1, distributed=True)
+    if not (exp["files_deleted"] > 0 and exp["expired_versions"] > 0):
+        raise AssertionError(f"expiry was a no-op: {exp}")
+    vac = t.vacuum_orphans(older_than_s=0, distributed=True)
+    if vac["orphans_deleted"] != 0:  # expiry left nothing behind
+        raise AssertionError(f"expiry leaked orphans: {vac}")
+    return t.read().select(
+        F.col("conv_id").cast("long").alias("user_id"), "value", "ts"
+    )
+
+
 def q_cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish under the oracle (Iceberg branch refs +
     fast_forward; sinks/lake.py create_branch/on_branch/fast_forward).
@@ -1531,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_bucket_evolution": q_cdc_bucket_evolution,
         "time_range_scan": q_time_range_scan,
         "cdc_rollback": q_cdc_rollback,
+        "cdc_maintenance": q_cdc_maintenance,
         "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_dml": q_cdc_dml,
         "table_stats": q_table_stats,
@@ -2218,6 +2274,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'replayed' AS phase, user_id, value, ts
             FROM wa WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_maintenance": """
+            WITH w AS (
+                SELECT user_id, ts, event_type,
+                       round(value, 2) AS value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events
+            )
+            SELECT user_id, value, ts
+            FROM w WHERE rn = 1 AND event_type <> 'error'
         """,
         "cdc_wap_publish": """
             WITH split AS (SELECT max(event_id) // 2 AS wm FROM events),
