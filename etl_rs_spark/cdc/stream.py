@@ -47,6 +47,8 @@ class StreamDriver:
         lineage_dir: str | None = None,
         retry: RetryConfig | None = None,
         compact_every: int | None = None,
+        retention_every: int | None = None,
+        retention_keep_last: int | None = None,
         engine: "EngineConfig | None" = None,
     ):
         """``engine``: an EngineConfig whose feature flags gate real
@@ -61,6 +63,10 @@ class StreamDriver:
                 lineage_dir = None
             if compact_every is None:
                 compact_every = engine.cdc.compact_every
+            if retention_every is None:
+                retention_every = engine.cdc.retention_every
+            if retention_keep_last is None:
+                retention_keep_last = engine.cdc.retention_keep_last
             if retry is None:
                 p = engine.pipeline
                 retry = RetryConfig(
@@ -90,11 +96,24 @@ class StreamDriver:
         #: both the file count and the manifest O(buckets) over a
         #: 10^10-event run instead of O(batches x buckets).
         self.compact_every = compact_every
+        #: retention under sustained ingest: every N applied batches,
+        #: expire old snapshots (keeping retention_keep_last — enough
+        #: history for CDF consumers and rollback) and sweep orphans,
+        #: both as DISTRIBUTED Spark actions (the driver never holds
+        #: the file list). Vacuum keeps its default in-flight grace, so
+        #: this stream's own just-written files are never raced. Bounds
+        #: snapshot count, manifest bytes and dead data bytes over a
+        #: 10^10-event run with no external scheduler.
+        self.retention_every = retention_every
+        self.retention_keep_last = (
+            10 if retention_keep_last is None else retention_keep_last
+        )
         # run identity = the checkpoint: replays within one checkpoint
         # lineage share it, so the table's commit log can skip them.
         self.run_id = os.path.abspath(checkpoint_dir)
         self.batch_stats: list[dict[str, Any]] = []
         self._applied_since_compact = 0
+        self._applied_since_retention = 0
         #: merged [lo, hi] LSN spans applied this run (cfg.
         #: track_lsn_gaps); O(holes) entries, not O(batches)
         self._lsn_ranges: list[list[int]] = []
@@ -164,6 +183,14 @@ class StreamDriver:
                 # operator call with a caller-supplied horizon.
                 self.table.compact()
                 self._applied_since_compact = 0
+        if self.retention_every and not stats.get("skipped"):
+            self._applied_since_retention += 1
+            if self._applied_since_retention >= self.retention_every:
+                self.table.expire_snapshots(
+                    keep_last=self.retention_keep_last, distributed=True
+                )
+                self.table.vacuum_orphans(distributed=True)
+                self._applied_since_retention = 0
 
     def _reader(self):
         if self.fmt == "kafka":

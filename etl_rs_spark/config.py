@@ -91,6 +91,15 @@ class CdcConfig:
     #: consumed by StreamDriver when built from an EngineConfig. On a
     #: merge-on-read table this also folds outstanding delta files.
     compact_every: int | None = None
+    #: run retention every N applied microbatches (None = never):
+    #: expire_snapshots(keep_last=retention_keep_last) then an orphan
+    #: vacuum, both as DISTRIBUTED Spark actions — bounds snapshot
+    #: count, manifest bytes and dead data files over a 10^10-event
+    #: run with no external scheduler. Vacuum keeps its in-flight
+    #: grace (default 3h), so a concurrent writer's uncommitted files
+    #: are never raced.
+    retention_every: int | None = None
+    retention_keep_last: int = 10
     #: merge write mode: None defers to the table property
     #: ``write.merge.mode`` (default copy-on-write); "merge-on-read"
     #: appends per-bucket delta files (write cost O(batch)) with LWW

@@ -160,6 +160,64 @@ def test_auto_compaction_bounds_files(spark, tmp_path, stream, binlog):
     assert_state_equal(table.read().toPandas(), oracle)
 
 
+def test_auto_retention_bounds_snapshots(spark, tmp_path, stream, binlog):
+    """retention_every runs distributed snapshot expiry + orphan vacuum
+    inline with the stream: surviving version files stay bounded by
+    retention_keep_last (+ maintenance commits since the last sweep),
+    dead pre-compaction data files are reclaimed, and the final state
+    still equals the oracle replay — metadata growth is O(keep_last),
+    not O(batches), over an unbounded run."""
+    import glob as _glob
+    import os as _os
+
+    events_dir, _ = binlog
+    table = LakeTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        num_buckets=4,
+    )
+    stats = StreamDriver(
+        spark,
+        table,
+        events_dir,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        compact_every=2,
+        retention_every=2,
+        retention_keep_last=2,
+    ).run_available_now(timeout_s=240)
+    applied = [s for s in stats if not s.get("skipped")]
+    assert len(applied) >= 4  # enough batches that expiry actually ran
+    versions = _glob.glob(
+        _os.path.join(table.meta_dir, "version-*.json")
+    )
+    # keep_last=2 plus at most one compaction + retention round of
+    # commits since the last sweep (merge + compact + up to 2 ref
+    # bookkeeping commits)
+    assert len(versions) <= 6, sorted(versions)[-8:]
+    oracle = replay(stream.toPandas())
+    assert_state_equal(table.read().toPandas(), oracle)
+    # retention reclaimed dead files: disk holds only files the
+    # surviving snapshots reference, plus possibly young uncommitted
+    live = {
+        f["path"]
+        for p in versions
+        for f in table.snapshot(
+            int(p.split("version-")[1].split(".")[0])
+        ).files
+    }
+    on_disk = set(
+        _glob.glob(
+            _os.path.join(table.data_dir, "**", "*.parquet"),
+            recursive=True,
+        )
+    )
+    # every live file exists; dead files from expired snapshots are gone
+    assert live <= on_disk
+    assert len(on_disk - live) <= len(live)  # no unbounded dead residue
+
+
 def test_stateful_running_stats_across_batches(spark, tmp_path, stream, binlog):
     """applyInPandasWithState: per-conversation running totals maintain
     state ACROSS microbatches (update mode); the last emitted row per
