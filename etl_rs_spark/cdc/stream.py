@@ -112,8 +112,6 @@ class StreamDriver:
         # lineage share it, so the table's commit log can skip them.
         self.run_id = os.path.abspath(checkpoint_dir)
         self.batch_stats: list[dict[str, Any]] = []
-        self._applied_since_compact = 0
-        self._applied_since_retention = 0
         #: merged [lo, hi] LSN spans applied this run (cfg.
         #: track_lsn_gaps); O(holes) entries, not O(batches)
         self._lsn_ranges: list[list[int]] = []
@@ -173,24 +171,30 @@ class StreamDriver:
         )
         self.batch_stats.append(stats)
         self._fold_lsn_span(stats.get("lsn_span"))
+        # Maintenance cadence is keyed on the GLOBAL batch_id (assigned
+        # by the streaming checkpoint, monotone across driver restarts),
+        # not an in-memory counter: a driver that restarts every K < N
+        # batches — rolling deploys, spot-instance churn, or the
+        # endurance harness's per-wave resume — would reset a counter
+        # forever and NEVER run maintenance (observed: 2x10^8-event run
+        # with retention_every=20 and 5-batch driver lifetimes grew
+        # snapshots linearly). Modulo on batch_id is stateless and
+        # exact under steady batch cadence; a cycle whose trigger batch
+        # is an exactly-once replay skip just defers to the next cycle.
         if self.compact_every and not stats.get("skipped"):
-            self._applied_since_compact += 1
-            if self._applied_since_compact >= self.compact_every:
+            if (batch_id + 1) % self.compact_every == 0:
                 # files-only compaction: tombstones are NOT dropped here
                 # because binlog files may deliver LSNs out of order
                 # across batches, so no watermark proves an old delete
                 # unreachable; tombstone expiry stays an explicit
                 # operator call with a caller-supplied horizon.
                 self.table.compact()
-                self._applied_since_compact = 0
         if self.retention_every and not stats.get("skipped"):
-            self._applied_since_retention += 1
-            if self._applied_since_retention >= self.retention_every:
+            if (batch_id + 1) % self.retention_every == 0:
                 self.table.expire_snapshots(
                     keep_last=self.retention_keep_last, distributed=True
                 )
                 self.table.vacuum_orphans(distributed=True)
-                self._applied_since_retention = 0
 
     def _reader(self):
         if self.fmt == "kafka":

@@ -218,6 +218,46 @@ def test_auto_retention_bounds_snapshots(spark, tmp_path, stream, binlog):
     assert len(on_disk - live) <= len(live)  # no unbounded dead residue
 
 
+def test_maintenance_cadence_survives_driver_restarts(
+    spark, tmp_path, stream, binlog
+):
+    """Retention/compaction cadence is keyed on the checkpoint's global
+    batch_id, not an in-memory counter: a fleet where every driver
+    lifetime is SHORTER than the cadence (rolling restarts, spot churn)
+    must still run maintenance. Regression for the 2x10^8-event
+    endurance run, where per-wave driver restarts reset the old
+    counters and retention never fired (snapshots grew linearly)."""
+    import glob as _glob
+    import os as _os
+
+    events_dir, files = binlog
+    table = _mk_table(spark, tmp_path)
+    staged = str(tmp_path / "staged-binlog")
+    _os.makedirs(staged)
+    ckpt = str(tmp_path / "ckpt")
+    # 6 phases x 1 file x 1 batch each: no driver ever lives past ONE
+    # applied batch, while retention_every=2 — a per-driver counter
+    # could never reach the cadence
+    for f in files:
+        shutil.copy(f, staged)
+        StreamDriver(
+            spark,
+            table,
+            staged,
+            ckpt,
+            max_files_per_trigger=1,
+            retention_every=2,
+            retention_keep_last=2,
+        ).run_available_now(timeout_s=240)
+    versions = _glob.glob(_os.path.join(table.meta_dir, "version-*.json"))
+    n_batches = len(files)
+    # without cross-restart cadence: create + one merge commit per batch
+    # all survive = 1 + n_batches version files; with it, expiry fired
+    # and deleted old versions
+    assert len(versions) < 1 + n_batches, sorted(versions)
+    assert_state_equal(table.read().toPandas(), replay(stream.toPandas()))
+
+
 def test_stateful_running_stats_across_batches(spark, tmp_path, stream, binlog):
     """applyInPandasWithState: per-conversation running totals maintain
     state ACROSS microbatches (update mode); the last emitted row per
