@@ -318,9 +318,12 @@ def main() -> None:
         "sf": result["sf"],
     }
     if cdc is not None:
+        # wall_sec/parallelism stay: scripts/run_scaling*.py parse them
         compact["cdc"] = {
             "events": cdc["events"],
+            "wall_sec": cdc["wall_sec"],
             "events_per_sec": cdc["events_per_sec"],
+            "parallelism": cdc["parallelism"],
         }
         if "mor" in cdc:
             compact["cdc"]["mor_events_per_sec"] = cdc["mor"][

@@ -130,6 +130,122 @@ def write_wave_files(env_df, binlog: str, w: int, n_files: int) -> list[str]:
     return paths
 
 
+#: the BASELINE.json per-row invariant columns, plus the evolved and
+#: coerced payload columns — the compared surface in BOTH verify modes
+REQUIRED = [
+    "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    "meta_active", "meta_edited", "lang",
+]
+
+
+def _coerce_meta(df):
+    """Dirty-payload coercions, inline (independent of functions/coercion
+    and cdc/normalize): reference cascade semantics,
+    /root/reference/src/types.rs:243-273."""
+    low = F.lower(F.trim(F.col("meta_active")))
+    return df.withColumn(
+        "meta_active",
+        F.when(low.isin("true", "1", "yes", "y"), F.lit(True)).when(
+            low.isin("false", "0", "no", "n"), F.lit(False)
+        ),
+    ).withColumn(
+        "meta_edited",
+        F.coalesce(
+            F.try_to_timestamp(F.col("meta_edited"), F.lit("yyyy-MM-dd")),
+            F.try_to_timestamp(F.col("meta_edited"), F.lit("dd/MM/yyyy")),
+            F.try_to_timestamp(F.col("meta_edited"), F.lit("MM/dd/yyyy")),
+        ).cast("date"),
+    )
+
+
+def _canonical_hash() -> F.Column:
+    """64-bit hash of the REQUIRED columns' canonical rendering — the
+    same expression evaluated on the oracle's winners and on the table,
+    so value equality reduces to (count, sum, xor) of this column.
+    Types are normalized first (bool/date/timestamp -> their one Spark
+    string rendering, nulls -> a sentinel no generated value contains)."""
+    rendered = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in REQUIRED
+    ]
+    return F.xxhash64(F.concat_ws("\x1f", *rendered))
+
+
+def _hash_triple(df) -> tuple:
+    """(row count, sum, xor) over a one-column DataFrame of hashes ``h``
+    — the order-insensitive equality summary both sides reduce to."""
+    r = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+        F.expr("bit_xor(h)").alias("x"),
+    ).collect()[0]
+    return int(r["n"]), r["s"], r["x"]
+
+
+def oracle_hash_triple(spark, waves, per, convs, parts, work) -> tuple:
+    """The oracle side of the scale-path verifier: per WAVE, regenerate
+    and reduce to per-key winner partials carrying each winning row's
+    canonical hash (one job per wave, so a wave's window and aggregation
+    shuffles are released before the next begins — peak scratch disk is
+    O(wave), not O(run)); reduce the partials associatively to global
+    winners; return their (count, sum, xor) hash triple."""
+    partials_dir = os.path.join(work, "oracle_partials")
+    for w in range(waves):
+        ev = gen_wave(spark, w, per, convs, waves, parts)
+        if "lang" not in ev.columns:
+            ev = ev.withColumn("lang", F.lit(None).cast("string"))
+        ev = _coerce_meta(ev)
+        # hash each event's would-be table row, then keep the per-key
+        # (ts, lsn)-max as a slim partial: map-side combine shrinks the
+        # exchange to key+struct, no payload bytes cross the shuffle
+        slim = ev.select(
+            "conv_id",
+            "turn_idx",
+            F.struct("ts", "lsn", "op", _canonical_hash().alias("h")).alias(
+                "cand"
+            ),
+        )
+        (
+            slim.groupBy("conv_id", "turn_idx")
+            .agg(F.max("cand").alias("cand"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(partials_dir, f"wave-{w:03d}"))
+        )
+        spark.sparkContext._jvm.System.gc()  # release the wave's shuffles
+    winners = (
+        spark.read.parquet(os.path.join(partials_dir, "wave-*"))
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.max("cand").alias("cand"))
+        .where(F.col("cand.op") != "D")
+        .select(F.col("cand.h").alias("h"))
+    )
+    triple = _hash_triple(winners)
+    shutil.rmtree(partials_dir, ignore_errors=True)
+    return triple
+
+
+def oracle_hash_verdict(spark, table, waves, per, convs, parts, work) -> dict:
+    """Scale-path verification (fits 10^9+ events on one box): compare
+    the oracle winners' hash triple to the table's over the SAME
+    canonical-hash expression. The full-row join verifier
+    (oracle_mismatches) pins this one at 2x10^8; the harness test pins
+    the two oracle reductions against each other at small scale."""
+    on, os_, ox = oracle_hash_triple(spark, waves, per, convs, parts, work)
+    tn, ts_, tx = _hash_triple(
+        table.read().select(_canonical_hash().alias("h"))
+    )
+    equal = on == tn and os_ == ts_ and ox == tx
+    return {
+        "mode": "hash",
+        "oracle_rows": on,
+        "table_rows": tn,
+        "hash_sum_equal": os_ == ts_,
+        "hash_xor_equal": ox == tx,
+        "mismatch_rows": 0 if equal else -1,
+        "text_mismatch_rows": 0 if (os_ == ts_ and ox == tx) else -1,
+        "columns_compared": REQUIRED,
+    }
+
+
 def oracle_mismatches(spark, table, waves, per, convs, parts) -> dict:
     """Regenerate the full stream, reduce it in ONE pass independently
     of the engine's merge/dedup machinery, and count rows that differ
@@ -151,31 +267,10 @@ def oracle_mismatches(spark, table, waves, per, convs, parts) -> dict:
         .where(F.col("op") != "D")
         .drop("op", "lsn")
     )
-    # dirty-payload coercions, inline (independent of functions/coercion
-    # and cdc/normalize): reference cascade semantics,
-    # /root/reference/src/types.rs:243-273.
-    low = F.lower(F.trim(F.col("meta_active")))
-    winners = winners.withColumn(
-        "meta_active",
-        F.when(low.isin("true", "1", "yes", "y"), F.lit(True)).when(
-            low.isin("false", "0", "no", "n"), F.lit(False)
-        ),
-    ).withColumn(
-        "meta_edited",
-        F.coalesce(
-            F.try_to_timestamp(F.col("meta_edited"), F.lit("yyyy-MM-dd")),
-            F.try_to_timestamp(F.col("meta_edited"), F.lit("dd/MM/yyyy")),
-            F.try_to_timestamp(F.col("meta_edited"), F.lit("MM/dd/yyyy")),
-        ).cast("date"),
-    )
+    winners = _coerce_meta(winners)
 
     state = table.read()
-    # the BASELINE.json per-row invariant columns, plus the evolved and
-    # coerced payload columns — all must exist on BOTH sides
-    required = [
-        "conv_id", "turn_idx", "role", "text", "tool", "ts",
-        "meta_active", "meta_edited", "lang",
-    ]
+    required = REQUIRED
     for c in required:
         assert c in winners.columns, f"oracle lost column {c}"
         assert c in state.columns, f"table lost column {c}"
@@ -209,6 +304,7 @@ def oracle_mismatches(spark, table, waves, per, convs, parts) -> dict:
         ).alias("text_mismatch_rows"),
     ).collect()[0]
     return {
+        "mode": "join",
         "oracle_rows": int(agg["oracle_rows"] or 0),
         "table_rows": int(agg["table_rows"] or 0),
         "joined_rows": agg["joined_rows"],
@@ -227,6 +323,15 @@ def main() -> int:
     buckets = _env_int("ETL_END_BUCKETS", 64)
     cpus = _env_int("ETL_END_CPUS", 32)
     work = os.environ.get("ETL_END_WORK", "/dev/shm/etl_endurance")
+    # join = full-row null-safe full-outer join (exact row localization;
+    # scratch is O(run), proven at 2x10^8); hash = per-wave winner
+    # partials + (count, sum, xor) of the canonical row hash (scratch
+    # O(wave) — the 10^9+ path)
+    verify = os.environ.get("ETL_END_VERIFY", "join")
+    # delete binlog files of waves older than the previous one once
+    # applied (the checkpoint has consumed them; peak tmpfs stays
+    # O(2 waves) instead of O(run))
+    prune = _env_int("ETL_END_PRUNE", 0)
     per = total // waves
 
     shutil.rmtree(work, ignore_errors=True)
@@ -251,6 +356,14 @@ def main() -> int:
         env = to_envelope(gen_wave(spark, w, per, convs, waves, cpus))
         write_wave_files(env, binlog, w, files_per_wave)
         gen_s = time.monotonic() - t_gen
+        if prune and w >= 2:
+            # waves <= w-2 are long consumed (the stream drained before
+            # wave w-1's files were even written); the checkpoint's file
+            # log keeps them from ever being re-listed
+            for f in glob.glob(
+                os.path.join(binlog, f"batch-w{w - 2:03d}-*.parquet")
+            ):
+                os.unlink(f)
 
         # FRESH driver on the SAME checkpoint: a real resume each wave
         driver = StreamDriver(
@@ -329,7 +442,12 @@ def main() -> int:
 
     # ---- engine-independent verification ---------------------------
     t_or = time.monotonic()
-    verdict = oracle_mismatches(spark, table, waves, per, convs, cpus)
+    if verify == "hash":
+        verdict = oracle_hash_verdict(
+            spark, table, waves, per, convs, cpus, work
+        )
+    else:
+        verdict = oracle_mismatches(spark, table, waves, per, convs, cpus)
     oracle_s = time.monotonic() - t_or
 
     apply_total_s = sum(r["apply_s"] for r in wave_rows)

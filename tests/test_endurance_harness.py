@@ -88,3 +88,32 @@ def test_distributed_oracle_matches_pandas_oracle(spark):
     o = normalize_frame(want[cols])
     assert len(e) == len(o)
     pdt.assert_frame_equal(e, o, check_dtype=False, check_like=True)
+
+
+def test_hash_oracle_agrees_with_join_oracle(spark, tmp_path):
+    """The 10^9-scale verifier (per-wave winner partials + canonical
+    hash triple) must reduce to exactly what hashing the proven
+    join-path winners yields — same count, sum and xor."""
+    from scripts.run_endurance import (
+        _canonical_hash,
+        _coerce_meta,
+        _hash_triple,
+        oracle_hash_triple,
+    )
+
+    full = _full_stream(spark)
+    if "lang" not in full.columns:
+        full = full.withColumn("lang", F.lit(None).cast("string"))
+    row = F.struct(*[F.col(c) for c in full.columns])
+    winners = _coerce_meta(
+        full.groupBy("conv_id", "turn_idx")
+        .agg(F.max_by(row, F.struct("ts", "lsn")).alias("w"))
+        .select("w.*")
+        .where(F.col("op") != "D")
+        .drop("op", "lsn")
+    )
+    want = _hash_triple(winners.select(_canonical_hash().alias("h")))
+    got = oracle_hash_triple(
+        spark, WAVES, PER, CONVS, PARTS, str(tmp_path)
+    )
+    assert got == want
