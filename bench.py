@@ -318,12 +318,14 @@ def main() -> None:
         "sf": result["sf"],
     }
     if cdc is not None:
-        # wall_sec/parallelism stay: scripts/run_scaling*.py parse them
+        # wall_sec/parallelism/batches stay: scripts/run_scaling*.py
+        # parse them for the legs and the report
         compact["cdc"] = {
             "events": cdc["events"],
             "wall_sec": cdc["wall_sec"],
             "events_per_sec": cdc["events_per_sec"],
             "parallelism": cdc["parallelism"],
+            "batches": cdc["batches"],
         }
         if "mor" in cdc:
             compact["cdc"]["mor_events_per_sec"] = cdc["mor"][

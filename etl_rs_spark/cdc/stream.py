@@ -91,12 +91,14 @@ class StreamDriver:
         self.coerce_spec = coerce_spec
         self.lineage_dir = lineage_dir
         self.retry = retry or RetryConfig()
-        #: table maintenance under sustained ingest: every N applied
-        #: batches, compact() rewrites each bucket to one file, keeping
-        #: both the file count and the manifest O(buckets) over a
-        #: 10^10-event run instead of O(batches x buckets).
+        #: table maintenance under sustained ingest: every N batches
+        #: (keyed on the checkpoint's GLOBAL batch_id, so the cadence
+        #: survives driver restarts — see _foreach_batch), compact()
+        #: rewrites each bucket to one file, keeping both the file
+        #: count and the manifest O(buckets) over a 10^10-event run
+        #: instead of O(batches x buckets).
         self.compact_every = compact_every
-        #: retention under sustained ingest: every N applied batches,
+        #: retention under sustained ingest: every N batches,
         #: expire old snapshots (keeping retention_keep_last — enough
         #: history for CDF consumers and rollback) and sweep orphans,
         #: both as DISTRIBUTED Spark actions (the driver never holds
