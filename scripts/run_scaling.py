@@ -80,9 +80,6 @@ def run_level(cpus: int, n_events: int) -> dict:
     # workers) to exactly `cpus` physical cores — local[8] on a 32-core
     # host otherwise borrows idle cores for GC/compression/Python and
     # understates what a real 8-core executor set could do.
-    import resource
-
-    r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
     out = subprocess.run(
         [
             "taskset", "-c", f"0-{cpus-1}",
@@ -93,15 +90,12 @@ def run_level(cpus: int, n_events: int) -> dict:
         text=True,
         timeout=3600,
     )
-    r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
     line = out.stdout.strip().splitlines()[-1]
     cdc = json.loads(line)["cdc"]
-    # cpu-seconds consumed by the whole leg (JVM + python workers):
-    # noise-robust evidence — external host load stretches wall-clock but
-    # barely changes our own cpu-s per event.
-    cdc["leg_cpu_sec"] = round(
-        (r1.ru_utime - r0.ru_utime) + (r1.ru_stime - r0.ru_stime), 1
-    )
+    # cpu_sec_best_rep (bench.py via etl_rs_spark/cpu.py): /proc
+    # process-tree cpu-seconds of the best-wall timed rep — python
+    # driver + JVM + UDF workers. Noise-robust: external host load
+    # stretches wall-clock but not the engine's own cpu-seconds.
     return cdc
 
 
@@ -214,7 +208,11 @@ def main(n_events: int = 32_000_000, rounds: int = 3) -> None:
     all_rates = {
         c: [x["events_per_sec"] for x in s] for c, s in samples.items()
     }
+    all_cpu = {
+        c: [x.get("cpu_sec_best_rep") for x in s] for c, s in samples.items()
+    }
     print("all samples:", all_rates, flush=True)
+    print("leg cpu-sec:", all_cpu, flush=True)
 
     lo, hi = min(LEVELS), max(LEVELS)
     r8, r32 = levels[lo]["events_per_sec"], levels[hi]["events_per_sec"]
@@ -251,6 +249,12 @@ for transparency.
 | local[{hi}] ("4N executors", taskset-pinned to {hi} cores) | {levels[hi]['events']:,} | {levels[hi]['wall_sec']} | {r32:,} |
 
 All samples (events/sec): local[{lo}] {all_rates[lo]}, local[{hi}] {all_rates[hi]}.
+Process-tree cpu-seconds of each sample's best timed rep (python
+driver + JVM + UDF workers, measured in-engine via /proc —
+etl_rs_spark/cpu.py; noise-robust evidence that both levels execute
+the SAME total work — wall-clock differences beyond this are slot
+count and platform contention, not extra work scheduled at higher
+parallelism): local[{lo}] {all_cpu[lo]}, local[{hi}] {all_cpu[hi]}.
 Per-leg host CPU calibration (pure-python Mops/s at each level's pinned
 core count, plus the implied PLATFORM scaling efficiency 'plat_eff'; a
 leg only launches when plat_eff >= {QUIET_EFF_FLOOR} — on this shared
