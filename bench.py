@@ -316,8 +316,11 @@ def main() -> None:
     # 4's artifact proved a multi-KB line gets head-truncated into
     # unparseable JSON ("parsed": null). The printed line stays compact
     # — headline value, per-query seconds (2dp), CDC headline rate.
+    # CDC-only legs (scripts/run_scaling*.py) must not clobber the
+    # committed full-bench artifact: everything they need is on stdout.
+    detail_name = "bench_detail_cdc.json" if cdc_only else "bench_detail.json"
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_detail.json"
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", detail_name
     )
     try:
         os.makedirs(os.path.dirname(detail_path), exist_ok=True)
@@ -349,7 +352,7 @@ def main() -> None:
                 "events_per_sec_apply"
             ]
     if detail_path:
-        compact["detail"] = "BENCH/bench_detail.json"
+        compact["detail"] = "BENCH/" + detail_name
     line = json.dumps(compact, separators=(",", ":"))
     # hard guard: the driver's tail capture is ~2 KB; if the compact
     # line ever outgrows it, drop per-query detail rather than ship an
