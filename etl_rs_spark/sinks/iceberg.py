@@ -232,6 +232,14 @@ class IcebergTable:
         """LakeTable.inspect_refs twin: the refs metadata table."""
         return self.spark.sql(f"SELECT * FROM {self.table}.refs")
 
+    def inspect_manifests(self) -> DataFrame:
+        """LakeTable.inspect_manifests twin: the manifests metadata table."""
+        return self.spark.sql(f"SELECT * FROM {self.table}.manifests")
+
+    def inspect_partitions(self) -> DataFrame:
+        """LakeTable.inspect_partitions twin: the partitions metadata table."""
+        return self.spark.sql(f"SELECT * FROM {self.table}.partitions")
+
     def promote(self, winners: DataFrame) -> dict[str, str]:
         """Iceberg-legal in-place type promotion before MERGE (same
         lattice as LakeTable: int->long, float->double, decimal

@@ -1825,6 +1825,80 @@ class LakeTable:
             "type string, name string, version int",
         )
 
+    def inspect_manifests(self, version: int | None = None) -> DataFrame:
+        """The manifest LIST as a DataFrame (Iceberg's ``t.manifests``):
+        one row per manifest file at the given (default current)
+        version — its group, write spec, bucket, file/row/delta counts
+        and LSN range. Served entirely from the snapshot's summary
+        line: O(groups) driver metadata, ZERO manifest files opened.
+        Legacy inline-files snapshots synthesize the same shape from
+        the in-memory list (one virtual group per (spec, bucket))."""
+        snap = self.current() if version is None else self.snapshot(version)
+        ddl = (
+            "path string, group string, spec_n int, bucket int, "
+            "n_files int, rows long, delta_files int, min_lsn long, "
+            "max_lsn long"
+        )
+        if snap.manifest_list:
+            rows = [
+                (
+                    m["path"],
+                    m["group"],
+                    int(m["spec_n"]),
+                    int(m["bucket"]),
+                    int(m["n_files"]),
+                    int(m["rows"]),
+                    int(m.get("deltas", 0)),
+                    m.get("min_lsn"),
+                    m.get("max_lsn"),
+                )
+                for m in snap.manifest_list
+            ]
+            return self.spark.createDataFrame(rows, ddl)
+        groups: dict[str, list[dict[str, Any]]] = {}
+        for f in snap.files:
+            groups.setdefault(_group_key(f, snap), []).append(f)
+        rows = []
+        for gk in sorted(groups):
+            s = self._manifest_summary(gk, "", groups[gk])
+            rows.append(
+                (
+                    None,
+                    gk,
+                    s["spec_n"],
+                    s["bucket"],
+                    s["n_files"],
+                    s["rows"],
+                    s["deltas"],
+                    s["min_lsn"],
+                    s["max_lsn"],
+                )
+            )
+        return self.spark.createDataFrame(rows, ddl)
+
+    def inspect_partitions(self, version: int | None = None) -> DataFrame:
+        """Per-partition (write-spec, bucket) rollup (Iceberg's
+        ``t.partitions``): file/row/delta counts and LSN range per
+        bucket under each spec still present in the table — the view an
+        operator reads to spot skewed buckets, delta-chain depth before
+        compaction, or an unfinished bucket-spec evolution (rows still
+        parked under an old spec_n). Aggregated from the manifest-list
+        summaries: O(groups) driver metadata, zero manifest or data
+        files opened. Footer ``rows`` on MoR tables count stored rows
+        (base + unresolved delta events), matching ``t.files``."""
+        return (
+            self.inspect_manifests(version=version)
+            .groupBy("spec_n", "bucket")
+            .agg(
+                F.sum("n_files").cast("int").alias("n_files"),
+                F.sum("rows").alias("rows"),
+                F.sum("delta_files").cast("int").alias("delta_files"),
+                F.min("min_lsn").alias("min_lsn"),
+                F.max("max_lsn").alias("max_lsn"),
+            )
+            .orderBy("spec_n", "bucket")
+        )
+
     # -------------------------------------------------- table statistics --
     def analyze(
         self, columns: Sequence[str] | None = None, exact: bool = False

@@ -2487,3 +2487,85 @@ def test_write_sort_order_sorts_within_files(spark, tmp_path):
         props={"write.sort-order": "conv_id"},
     )
     assert _sort_order(t3.current()) == ["conv_id"]
+
+
+def test_inspect_manifests_and_partitions(spark, tmp_path, monkeypatch):
+    """Iceberg's t.manifests / t.partitions metadata tables: served
+    entirely from the snapshot's manifest-list summaries — zero
+    manifest files opened — and exact against the per-file view,
+    including delta chains and a mid-life bucket-spec evolution."""
+    import etl_rs_spark.sinks.lake as lake_mod
+
+    ddl = "conv_id string, turn_idx int, text string, ts timestamp"
+
+    def _w(rows):
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, lsn long, op string, text string",
+        ).select(
+            "conv_id",
+            "turn_idx",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("lsn")).alias("ts"),
+            "lsn",
+            "op",
+            "text",
+        )
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        ddl,
+        num_buckets=4,
+        props={"write.merge.mode": "merge-on-read"},
+    )
+    t.merge(_w([(f"c{i}", i, i, "U", f"v{i}") for i in range(12)]),
+            run_id="r", batch_id=0)
+    t.merge(_w([(f"c{i}", i, 100 + i, "U", f"w{i}") for i in range(12)]),
+            run_id="r", batch_id=1)
+    t.set_num_buckets(8)  # metadata-only: old groups stay under spec 4
+    t.merge(_w([("cX", 99, 200, "U", "x")]), run_id="r", batch_id=2)
+
+    loads = []
+    real = lake_mod._load_manifest
+
+    def counting(meta_dir, relpath):
+        loads.append(relpath)
+        return real(meta_dir, relpath)
+
+    monkeypatch.setattr(lake_mod, "_load_manifest", counting)
+    mf = t.inspect_manifests().collect()
+    parts = {
+        (r["spec_n"], r["bucket"]): r
+        for r in t.inspect_partitions().collect()
+    }
+    monkeypatch.setattr(lake_mod, "_load_manifest", real)
+    assert loads == []  # summaries only, no manifest hydration
+
+    # exact against the per-file view (distributed manifest read)
+    files = t.inspect_files().collect()
+    assert sum(m["rows"] for m in mf) == sum(f["rows"] for f in files)
+    assert sum(m["n_files"] for m in mf) == len(files)
+    assert sum(m["delta_files"] for m in mf) == sum(
+        1 for f in files if f["kind"] == "delta"
+    )
+    # both specs visible until compaction migrates the old groups
+    assert {m["spec_n"] for m in mf} == {4, 8}
+    assert {s for s, _ in parts} == {4, 8}
+    # partitions == manifests aggregated by (spec, bucket)
+    for (s, b), r in parts.items():
+        grp = [m for m in mf if (m["spec_n"], m["bucket"]) == (s, b)]
+        assert r["n_files"] == sum(m["n_files"] for m in grp)
+        assert r["rows"] == sum(m["rows"] for m in grp)
+        assert r["delta_files"] == sum(m["delta_files"] for m in grp)
+        assert r["max_lsn"] == max(m["max_lsn"] for m in grp)
+    # the unresolved delta chains are visible per partition (the signal
+    # an operator uses to target compact(buckets=...))
+    assert any(r["delta_files"] > 0 for r in parts.values())
+    # time travel: the pre-evolution version shows only spec 4
+    v1 = t.inspect_partitions(version=2).collect()
+    assert {r["spec_n"] for r in v1} == {4}
+    # full compaction migrates everything to the current spec
+    t.compact()
+    assert {
+        r["spec_n"] for r in t.inspect_partitions().collect()
+    } == {8}
