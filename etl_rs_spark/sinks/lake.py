@@ -1132,11 +1132,16 @@ class LakeTable:
 
         The CORRECTNESS check is per-branch: ``snap.parent_version``
         must still equal the committing branch's tip. A tip that moved
-        is a real conflict (the writer's data files were derived from
-        stale state) and raises to the caller, whose retry re-reads and
-        rebuilds — same contract as before branches existed. A commit
-        that merely landed on a DIFFERENT branch only shifts the global
-        slot number; this writer rebases onto the next slot
+        is first given to _try_rebase (Iceberg's commit
+        retry-with-validation): a data commit whose manifest-group
+        footprint is disjoint from the winners' — and under whom no
+        structural metadata or replay-log state moved — is spliced onto
+        the new tip without redoing any data work. Only when that
+        validation fails is it a real conflict (the writer's data files
+        were derived from state that moved) and raises to the caller,
+        whose retry re-reads and rebuilds — same contract as before. A
+        commit that merely landed on a DIFFERENT branch only shifts the
+        global slot number; this writer rebases onto the next slot
         transparently (bounded retry loop), because nothing it wrote
         depends on other branches' state.
 
@@ -1166,12 +1171,22 @@ class LakeTable:
                 if snap.branch not in tips:
                     raise LoadError(f"no such branch {snap.branch!r}")
                 if tips[snap.branch] != snap.parent_version:
-                    raise LoadError(
-                        f"concurrent commit conflict: branch "
-                        f"{snap.branch!r} is at version "
-                        f"{tips[snap.branch]}, this writer derived from "
-                        f"version {snap.parent_version}; re-read and retry"
-                    )
+                    # same-branch race: before declaring a real
+                    # conflict, try the metadata-level rebase (Iceberg's
+                    # commit retry-with-validation) — valid iff the
+                    # intervening commits touched disjoint manifest
+                    # groups and changed no structural metadata. On
+                    # success nothing is recomputed or rewritten: the
+                    # already-written data files and group manifests are
+                    # spliced onto the new tip.
+                    if not self._try_rebase(snap, tips[snap.branch]):
+                        raise LoadError(
+                            f"concurrent commit conflict: branch "
+                            f"{snap.branch!r} is at version "
+                            f"{tips[snap.branch]}, this writer derived "
+                            f"from version {snap.parent_version}; "
+                            f"re-read and retry"
+                        )
             slot = hv + 1
             # a watermark-advance entry this writer appended for its
             # INTENDED version (parent+1, flagged by merge) follows the
@@ -1240,6 +1255,121 @@ class LakeTable:
             os.replace(tmp, os.path.join(self.meta_dir, "HEAD"))  # atomic
             return
         raise last_err  # all rebase attempts lost their slot race
+
+    def _try_rebase(self, snap: Snapshot, tip_version: int) -> bool:
+        """Metadata-level commit rebase after a same-branch slot race
+        (Iceberg's commit retry-with-validation): when the commits that
+        won the race touched DISJOINT manifest groups and changed no
+        structural metadata, this writer's already-written data files
+        and group manifests are spliced onto the new tip — the merge /
+        append / targeted-compact is NOT redone. That is what lets
+        streaming ingest and background maintenance (compact of other
+        buckets, tag/branch commits, distributed retention) commit
+        concurrently on one branch without either redoing O(batch) or
+        O(bucket-state) data work.
+
+        Validation (all checked against the snapshot this commit was
+        derived from; any failure returns False and the caller raises
+        the real conflict, whose retry re-reads and rebuilds):
+        - this commit declared pure DATA intent (``_data_commit``, set
+          by merge/append/compact/overwrite): its whole effect beyond
+          group manifests is watermark/applied advance and additive
+          schema widening, which this splice knows how to recompose.
+          Refs/DDL/spec/rollback commits do not rebase — their intent
+          is not group-shaped;
+        - footprints are exact and disjoint: a group's manifest pointer
+          changes iff a commit touched it (provenance-based pointer
+          reuse), so OUR footprint is the pointer diff snap-vs-parent,
+          the winners' is parent-vs-tip, and neither the state this
+          commit read nor the groups it rewrote may appear in both;
+        - no structural metadata changed under us: schema, bucket spec,
+          key/order columns, rename epoch, field ids and table props
+          are byte-equal between parent and tip (a concurrent widening
+          or DDL is a real conflict — conservative by design);
+        - the exactly-once log and the LSN watermark moved only
+          FORWARD between parent and tip: a rollback regressed them on
+          purpose (undone batches must replay), and rebasing over it
+          would resurrect exactly the state it undid.
+
+        The rebased snapshot adopts the tip's manifests for every
+        untouched group (keeping the winners' effects), the tip's
+        refs/stats/watermark history, max-merged watermark and applied
+        log, and re-appends its own watermark advance when it still
+        advances past the tip."""
+        if not snap.__dict__.get("_data_commit"):
+            return False  # refs/DDL/spec/rollback intent: never rebase
+        try:
+            parent = self.snapshot(snap.parent_version)
+            tip = self.snapshot(tip_version)
+        except FileNotFoundError:
+            return False  # expired under us: real conflict
+        for s in (parent, tip):
+            # legacy inline-files snapshot (pre-sharding): its file set
+            # is not group-addressable, so pointer-diff validation
+            # cannot run. An EMPTY manifest list with no files is just
+            # a young sharded table — fine.
+            if not s.manifest_list and s.__dict__.get("files"):
+                return False
+        if (
+            tip.schema_json != parent.schema_json
+            or tip.num_buckets != parent.num_buckets
+            or tip.bucket_col != parent.bucket_col
+            or tip.key_cols != parent.key_cols
+            or tip.order_cols != parent.order_cols
+            or tip.epoch != parent.epoch
+            or tip.field_ids != parent.field_ids
+            or tip.epoch_names != parent.epoch_names
+            or tip.props != parent.props
+            or tip.watermark_lsn < parent.watermark_lsn
+        ):
+            return False
+        for run, b in parent.applied.items():
+            if tip.applied.get(run, -1) < b:
+                return False  # rollback regressed the replay log
+        pm = {m["group"]: m["path"] for m in parent.manifest_list}
+        tm = {m["group"]: m["path"] for m in tip.manifest_list}
+        sm = {m["group"]: m["path"] for m in snap.manifest_list}
+        touched = {
+            g for g in pm.keys() | sm.keys() if pm.get(g) != sm.get(g)
+        }
+        others = {
+            g for g in pm.keys() | tm.keys() if pm.get(g) != tm.get(g)
+        }
+        if others & touched:
+            return False  # overlapping data footprint: real conflict
+        ours = {
+            m["group"]: m
+            for m in snap.manifest_list
+            if m["group"] in touched
+        }
+        mlist = [m for m in tip.manifest_list if m["group"] not in touched]
+        mlist += ours.values()
+        mlist.sort(key=lambda m: m["group"])
+        snap.manifest_list = mlist
+        snap.parent_version = tip.version
+        snap.watermark_lsn = max(tip.watermark_lsn, snap.watermark_lsn)
+        merged = dict(tip.applied)
+        for run, b in snap.applied.items():
+            merged[run] = max(merged.get(run, -1), b)
+        snap.applied = merged
+        self._cap_applied(snap)
+        snap.refs = dict(tip.refs)
+        snap.stats = dict(tip.stats)
+        snap.wm_segments = list(tip.wm_segments)
+        snap.wm_history = [list(x) for x in tip.wm_history]
+        advanced = (
+            snap.__dict__.pop("_wm_pending", False)
+            and snap.watermark_lsn > tip.watermark_lsn
+        )
+        if advanced:
+            # slot index is retargeted by _commit when it lands
+            snap.wm_history.append([tip.version + 1, snap.watermark_lsn])
+            snap.__dict__["_wm_pending"] = True
+        self._roll_wm_segments(snap)
+        snap.__dict__.pop("files", None)
+        self._attach_files_loader(snap)
+        snap.__dict__["_rebased"] = True  # observability (merge stats)
+        return True
 
     def _claim_slot(self, vtmp: str, vpath: str, version: int) -> None:
         """Link the fully-written manifest into the version slot; the
@@ -2965,6 +3095,7 @@ class LakeTable:
             new.__dict__["_group_edits"] = edits
         else:
             new = snap.child(files=snap.files + new_files)
+        new.__dict__["_data_commit"] = True  # rebase-eligible
         self._commit(new)
         return {"version": new.version, "mode": "append"}
 
@@ -2984,6 +3115,7 @@ class LakeTable:
                 key_col=snap.bucket_col,
             ),
         )
+        new.__dict__["_data_commit"] = True  # rebase-eligible
         self._commit(new)
         return {"version": new.version, "mode": "overwrite"}
 
@@ -3478,6 +3610,7 @@ class LakeTable:
                 files=[f for f in snap.files if f["path"] not in target_paths]
                 + new_files,
             )
+        new_snap.__dict__["_data_commit"] = True  # rebase-eligible
         self._commit(new_snap)
         return {
             "version": new_snap.version,
@@ -3887,6 +4020,7 @@ class LakeTable:
             )
             # _commit retargets this entry to the slot actually taken
             new_snap.__dict__["_wm_pending"] = True
+        new_snap.__dict__["_data_commit"] = True  # rebase-eligible
         t_commit = time.monotonic()
         self._commit(new_snap)
         stage_ms["commit"] = int((time.monotonic() - t_commit) * 1000)
@@ -3897,6 +4031,9 @@ class LakeTable:
             "version": new_snap.version,
             "skipped": False,
             "mode": mode,
+            # True when a same-branch slot race was resolved by the
+            # metadata-level rebase instead of redoing the merge
+            "rebased": bool(new_snap.__dict__.get("_rebased")),
             "buckets_touched": affected,
             "folded_buckets": fold,
             "delta_buckets": cold,
