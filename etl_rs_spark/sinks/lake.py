@@ -577,6 +577,13 @@ class Snapshot:
     #: {col: {nulls, ndv, min, max}}}. Carried forward by child() —
     #: ``analyzed_version`` tells readers how stale they are.
     stats: dict = field(default_factory=dict)
+    #: what produced this snapshot (Iceberg snapshot-summary
+    #: ``operation`` role): create / merge / delete / update / append /
+    #: overwrite / compact / ddl / set-buckets / properties / analyze /
+    #: tag / branch / fast-forward / rollback / expire-refs. Purely
+    #: observational (inspect_snapshots); never inherited by child().
+    #: "" on pre-field manifests.
+    operation: str = ""
 
     def __post_init__(self) -> None:
         # legacy manifests (pre field-id) synthesize stable ids from
@@ -673,6 +680,7 @@ class Snapshot:
             fork_version=self.fork_version,
             ff_source=[],  # per-commit stamp, never inherited
             stats={k: v for k, v in self.stats.items()},
+            operation="",  # per-commit stamp, never inherited
         )
         base.update(overrides)
         # metadata-only children (no files override, parent still lazy)
@@ -754,6 +762,7 @@ class LakeTable:
             num_buckets=num_buckets,
             props=dict(props or {}),
             wm_history=[[0, -1]],
+            operation="create",
         )
         t._commit(snap)
         return t
@@ -1927,6 +1936,7 @@ class LakeTable:
                 (
                     s.version,
                     s.committed_at_ms,
+                    s.operation or None,  # "" = pre-field manifest
                     s.branch,
                     s.parent_version,
                     s.watermark_lsn,
@@ -1938,9 +1948,9 @@ class LakeTable:
             )
         return self.spark.createDataFrame(
             rows,
-            "version int, committed_at_ms long, branch string, "
-            "parent_version int, watermark_lsn long, n_files int, "
-            "n_rows long, num_buckets int, epoch int",
+            "version int, committed_at_ms long, operation string, "
+            "branch string, parent_version int, watermark_lsn long, "
+            "n_files int, n_rows long, num_buckets int, epoch int",
         )
 
     def inspect_refs(self) -> DataFrame:
@@ -2096,7 +2106,7 @@ class LakeTable:
             "exact_ndv": bool(exact),
             "columns": colstats,
         }
-        self._commit(snap.child(stats=stats))
+        self._commit(snap.child(stats=stats, operation="analyze"))
         return stats
 
     # -------------------------------------------------------- row DML --
@@ -2131,7 +2141,9 @@ class LakeTable:
             .withColumn("op", F.lit("D"))
             .withColumn(lsn_name, F.lit(snap.watermark_lsn + 1))
         )
-        res = self.merge(winners, lsn_col=lsn_name, sub_lsn=0)
+        res = self.merge(
+            winners, lsn_col=lsn_name, sub_lsn=0, operation="delete"
+        )
         return {**res, "dml": "delete"}
 
     def update_where(
@@ -2170,7 +2182,9 @@ class LakeTable:
             .withColumn("op", F.lit("U"))
             .withColumn(lsn_name, F.lit(snap.watermark_lsn + 1))
         )
-        res = self.merge(winners, lsn_col=lsn_name, sub_lsn=0)
+        res = self.merge(
+            winners, lsn_col=lsn_name, sub_lsn=0, operation="update"
+        )
         return {**res, "dml": "update"}
 
     # ------------------------------------------------- schema evolution --
@@ -2215,6 +2229,7 @@ class LakeTable:
             field_ids=field_ids,
             epoch=new_epoch,
             epoch_names=epoch_names,
+            operation="ddl",
         )
         self._commit(new_snap)
         return {"version": new_snap.version, "renamed": {old: new}}
@@ -2245,6 +2260,7 @@ class LakeTable:
             field_ids=field_ids,
             epoch=new_epoch,
             epoch_names=epoch_names,
+            operation="ddl",
         )
         self._commit(new_snap)
         return {"version": new_snap.version, "dropped": name}
@@ -2278,6 +2294,7 @@ class LakeTable:
             field_ids=field_ids,
             next_field_id=snap.next_field_id + 1,
             epoch_names=epoch_names,
+            operation="ddl",
         )
         self._commit(new_snap)
         return {"version": new_snap.version, "added": name}
@@ -2331,7 +2348,7 @@ class LakeTable:
                     "compatible intermediate or compact() first"
                 )
         if lazy:
-            new_snap = snap.child(num_buckets=new_n)
+            new_snap = snap.child(num_buckets=new_n, operation="set-buckets")
         else:
             files = []
             for f in snap.files:
@@ -2341,7 +2358,9 @@ class LakeTable:
                 g = {k: v for k, v in f.items() if not k.startswith("_")}
                 g.setdefault("spec_n", snap.num_buckets)
                 files.append(g)
-            new_snap = snap.child(num_buckets=new_n, files=files)
+            new_snap = snap.child(
+                num_buckets=new_n, files=files, operation="set-buckets"
+            )
         self._commit(new_snap)
         return {
             "version": new_snap.version,
@@ -2367,7 +2386,7 @@ class LakeTable:
                 merged.pop(k, None)
             else:
                 merged[k] = v
-        new_snap = snap.child(props=merged)
+        new_snap = snap.child(props=merged, operation="properties")
         self._commit(new_snap)
         return {"version": new_snap.version, "props": merged}
 
@@ -2394,7 +2413,7 @@ class LakeTable:
             self.snapshot(v)  # must name a live, readable version
         except FileNotFoundError:
             raise LoadError(f"tag target version {v} does not exist")
-        new_snap = snap.child(refs={**snap.refs, name: v})
+        new_snap = snap.child(refs={**snap.refs, name: v}, operation="tag")
         if max_age_ms is not None:
             # Iceberg max-ref-age-ms for tags: expire_snapshots drops
             # the tag once the pinned snapshot is older than this
@@ -2412,7 +2431,7 @@ class LakeTable:
             raise LoadError(f"no such tag {name!r}")
         refs = dict(snap.refs)
         at = refs.pop(name)
-        new_snap = snap.child(refs=refs)
+        new_snap = snap.child(refs=refs, operation="tag")
         new_snap.__dict__["_ref_retention_edits"] = {f"tag:{name}": None}
         self._commit(new_snap)
         return {"version": new_snap.version, "dropped": name, "was_at": at}
@@ -2462,7 +2481,7 @@ class LakeTable:
                 self.snapshot(v)
             except FileNotFoundError:
                 raise LoadError(f"branch target version {v} does not exist")
-        child = snap.child()
+        child = snap.child(operation="branch")
         if max_age_ms is not None:
             child.__dict__["_ref_retention_edits"] = {
                 f"branch:{name}": int(max_age_ms)
@@ -2481,7 +2500,10 @@ class LakeTable:
             raise LoadError(f"no such branch {name!r}")
         if name == self._branch:
             raise LoadError("cannot drop the branch this handle is on")
-        self._commit(self.current().child(), branch_edits={name: None})
+        self._commit(
+            self.current().child(operation="branch"),
+            branch_edits={name: None},
+        )
         return {"dropped": name, "was_at": tips[name]}
 
     def fast_forward(self, branch: str) -> dict[str, Any]:
@@ -2547,6 +2569,7 @@ class LakeTable:
             parent_version=cur.version,
             fork_version=cur.fork_version,
             ff_source=[branch, bt, epoch_now],
+            operation="fast-forward",
         )
         self._commit(new_snap)
         return {
@@ -2617,6 +2640,7 @@ class LakeTable:
             branch=cur.branch,
             parent_version=cur.version,
             fork_version=cur.fork_version,
+            operation="rollback",
         )
         self._commit(new_snap)
         return {
@@ -3095,6 +3119,7 @@ class LakeTable:
             new.__dict__["_group_edits"] = edits
         else:
             new = snap.child(files=snap.files + new_files)
+        new.operation = "append"
         new.__dict__["_data_commit"] = True  # rebase-eligible
         self._commit(new)
         return {"version": new.version, "mode": "append"}
@@ -3115,6 +3140,7 @@ class LakeTable:
                 key_col=snap.bucket_col,
             ),
         )
+        new.operation = "overwrite"
         new.__dict__["_data_commit"] = True  # rebase-eligible
         self._commit(new)
         return {"version": new.version, "mode": "overwrite"}
@@ -3175,7 +3201,8 @@ class LakeTable:
                     continue
                 if now_ms - committed > ms:
                     self._commit(
-                        self.current().child(), branch_edits={b: None}
+                        self.current().child(operation="expire-refs"),
+                        branch_edits={b: None},
                     )
                     dropped_refs.append(f"branch:{b}")
             snap = self.current()
@@ -3194,7 +3221,7 @@ class LakeTable:
                 refs = {
                     k: v for k, v in snap.refs.items() if k not in aged_tags
                 }
-                child = snap.child(refs=refs)
+                child = snap.child(refs=refs, operation="expire-refs")
                 child.__dict__["_ref_retention_edits"] = {
                     f"tag:{t}": None for t in aged_tags
                 }
@@ -3610,6 +3637,7 @@ class LakeTable:
                 files=[f for f in snap.files if f["path"] not in target_paths]
                 + new_files,
             )
+        new_snap.operation = "compact"
         new_snap.__dict__["_data_commit"] = True  # rebase-eligible
         self._commit(new_snap)
         return {
@@ -3631,6 +3659,7 @@ class LakeTable:
         batch_stats: dict[str, Any] | None = None,
         mode: str | None = None,
         sub_lsn: int = 1,
+        operation: str = "merge",
     ) -> dict[str, Any]:
         """Key-partitioned LWW MERGE (the real version of the reference's
         stubbed write_merge, /root/reference/src/load/delta.rs:255-267).
@@ -4011,6 +4040,7 @@ class LakeTable:
         )
         if not lazy:
             child_kw["files"] = kept + new_files
+        child_kw["operation"] = operation
         new_snap = snap.child(**child_kw)
         if lazy:
             new_snap.__dict__["_group_edits"] = edits

@@ -2569,3 +2569,34 @@ def test_inspect_manifests_and_partitions(spark, tmp_path, monkeypatch):
     assert {
         r["spec_n"] for r in t.inspect_partitions().collect()
     } == {8}
+
+
+def test_snapshot_operation_stamps(spark, tmp_path):
+    """Every commit records what produced it (Iceberg snapshot-summary
+    operation role), visible in inspect_snapshots; the stamp is
+    per-commit, never inherited."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    t.append(_df(spark, 6))
+    winners = _df(spark, 4).select(
+        "conv_id", "turn_idx", "ts",
+        F.col("turn_idx").cast("long").alias("lsn"),
+        F.lit("U").alias("op"),
+    )
+    t.merge(winners, run_id="r", batch_id=0)
+    t.compact()
+    t.create_tag("pin")
+    t.set_properties({"write.compression": "zstd"})
+    t.delete_where("turn_idx = 0")
+    t.rollback(3)
+    ops = {
+        r["version"]: r["operation"]
+        for r in t.inspect_snapshots().collect()
+    }
+    assert ops[0] == "create"
+    assert ops[1] == "append"
+    assert ops[2] == "merge"
+    assert ops[3] == "compact"
+    assert ops[4] == "tag"
+    assert ops[5] == "properties"
+    assert ops[6] == "delete"
+    assert ops[7] == "rollback"
