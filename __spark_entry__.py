@@ -1438,6 +1438,87 @@ def q_cdc_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_concurrent_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-writer correctness under the oracle (sinks/lake.py
+    _try_rebase — Iceberg's commit retry-with-validation): batch 0 (the
+    even-LSN half of the change stream) replays into the table; then a
+    second merge (the odd-LSN events of ONE key) loses its commit-slot
+    race to a concurrent admin compact of a DIFFERENT bucket, injected
+    deterministically between the merge's snapshot read and its slot
+    claim. The merge must resolve the race by the metadata-level rebase
+    (stats["rebased"] asserted — no data work redone), and the final
+    state must equal DuckDB's LWW replay over the union of both
+    batches, proving neither the compact's nor the merge's effect was
+    lost."""
+    import tempfile
+
+    from etl_rs_spark.sinks.lake import LakeTable, bucket_expr
+
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.round("value", 2).alias("value"),
+    )
+    keys, order = ["conv_id", "turn_idx"], ["ts", "lsn"]
+    work = tempfile.mkdtemp(prefix="concurrent-entry-")
+    t = LakeTable.create(
+        spark,
+        f"{work}/t",
+        "conv_id string, turn_idx int, value double, ts timestamp",
+        num_buckets=8,
+    )
+    t.merge(
+        lww_dedup(base.where(F.col("lsn") % 2 == 0), keys, order),
+        run_id="cc",
+        batch_id=0,
+    )
+    odd = base.where(F.col("lsn") % 2 == 1)
+    target, tb = odd.select(
+        F.min(F.col("conv_id").cast("long")).cast("string").alias("c")
+    ).select(
+        "c", bucket_expr("c", 8).alias("b")
+    ).collect()[0]
+    cands = [
+        m
+        for m in t.inspect_manifests().collect()
+        if m["bucket"] != tb and m["n_files"] > 0
+    ]
+    if not cands:
+        raise RuntimeError("no disjoint bucket to compact at this sf")
+    cb = max(cands, key=lambda m: m["rows"])["bucket"]
+    orig = t._claim_slot
+    fired = {"done": False}
+
+    def inject(vtmp, vpath, version):
+        if not fired["done"]:
+            fired["done"] = True
+            LakeTable.load(spark, f"{work}/t").compact(buckets=[cb])
+        return orig(vtmp, vpath, version)
+
+    t._claim_slot = inject  # type: ignore[method-assign]
+    try:
+        stats = t.merge(
+            lww_dedup(odd.where(F.col("conv_id") == target), keys, order),
+            run_id="cc",
+            batch_id=1,
+        )
+    finally:
+        t._claim_slot = orig  # type: ignore[method-assign]
+    if not (fired["done"] and stats.get("rebased")):
+        raise RuntimeError(
+            f"race not exercised: fired={fired['done']} stats={stats}"
+        )
+    return t.read().select(
+        F.col("conv_id").cast("long").alias("user_id"), "value", "ts"
+    )
+
+
 def q_ngram_jaccard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MANIFEST-FED spelling of capped n-gram dedup: documents are
     merged into a LakeTable, then ``LakeTable.ngram_dedup_pairs`` runs
@@ -1589,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_maintenance": q_cdc_maintenance,
         "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_dml": q_cdc_dml,
+        "cdc_concurrent_commit": q_cdc_concurrent_commit,
         "table_stats": q_table_stats,
     }
 
@@ -2331,6 +2413,25 @@ def oracle_sql() -> dict[str, str]:
                    ts
             FROM state
             WHERE NOT (value < 0.2)
+        """,
+        "cdc_concurrent_commit": """
+            WITH replayed AS (
+                SELECT user_id, ts, event_type, event_id,
+                       round(value, 2) AS value
+                FROM events
+                WHERE event_id % 2 = 0
+                   OR (event_id % 2 = 1 AND user_id =
+                        (SELECT min(user_id) FROM events
+                         WHERE event_id % 2 = 1))
+            ), w AS (
+                SELECT user_id, ts, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM replayed
+            )
+            SELECT user_id, value, ts FROM w
+            WHERE rn = 1 AND event_type <> 'error'
         """,
         "table_stats": """
             WITH w AS (
