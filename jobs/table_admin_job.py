@@ -33,7 +33,7 @@ Commands:
                    [--where "p"]          winners (expr sees the old row)
     analyze        [--columns a,b] [--exact]  per-column null/NDV/min/max
                                           stats committed into metadata
-    inspect        --kind files|snapshots|refs  metadata tables (Iceberg
+    inspect        --kind files|snapshots|refs|manifests|partitions (Iceberg
                                           t.files / t.snapshots / t.refs)
 
 Every command accepts --branch B to operate on branch B instead of main
@@ -146,9 +146,11 @@ def parse_args(argv):
 
     ins = sub.add_parser("inspect")
     ins.add_argument("--kind", required=True,
-                     choices=["files", "snapshots", "refs"],
+                     choices=["files", "snapshots", "refs", "manifests",
+                              "partitions"],
                      help="metadata table to print (Iceberg t.files / "
-                          "t.snapshots / t.refs)")
+                          "t.snapshots / t.refs / t.manifests / "
+                          "t.partitions)")
     ins.add_argument("--limit", type=int, default=100)
 
     an = sub.add_parser("analyze")
@@ -264,6 +266,8 @@ def main(argv=None) -> int:
             "files": t.inspect_files,
             "snapshots": t.inspect_snapshots,
             "refs": t.inspect_refs,
+            "manifests": t.inspect_manifests,
+            "partitions": t.inspect_partitions,
         }[args.kind]()
         out = {"rows": [r.asDict() for r in df.limit(args.limit).collect()]}
     elif args.cmd == "analyze":

@@ -125,6 +125,12 @@ def test_admin_inspect_metadata_tables(spark, tmp_path, table, capsys):
     kinds = {(r["type"], r["name"]) for r in rf}
     assert ("branch", "main") in kinds and ("branch", "b1") in kinds
     assert ("tag", "cut") in kinds
+    assert {s["operation"] for s in sn} >= {"create", "append"}
+    mf = _run(capsys, p, "inspect", "--kind", "manifests")["rows"]
+    assert sum(m["rows"] for m in mf) == 20
+    pt = _run(capsys, p, "inspect", "--kind", "partitions")["rows"]
+    assert sum(r["rows"] for r in pt) == 20
+    assert all(r["spec_n"] == 4 for r in pt)
 
 
 def test_admin_analyze_commits_stats(spark, tmp_path, table, capsys):
