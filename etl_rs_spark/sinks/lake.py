@@ -291,7 +291,116 @@ def _promote_type(
         and new.precision > cur.precision
     ):
         return new
+    # -- nested additive evolution (Iceberg spec: "Add a new struct
+    # field" is a legal in-place change at ANY nesting depth, including
+    # inside array elements and map values). A struct widens when the
+    # incoming struct carries new fields — appended after the existing
+    # ones, nullable — and/or recursively promotes shared fields.
+    # Shared fields with a NON-promotable mismatch keep the table type
+    # (the incoming value is aligned to it at write, same rule as
+    # top-level columns); incoming structs MISSING existing fields
+    # never shrink the table struct (dropping a field is a separate
+    # explicit DDL, exactly like top-level drop_column).
+    if isinstance(cur, T.StructType) and isinstance(new, T.StructType):
+        by_new = {f.name: f for f in new.fields}
+        merged: list[T.StructField] = []
+        widened = False
+        for f in cur.fields:
+            nf = by_new.get(f.name)
+            p = (
+                _promote_type(f.dataType, nf.dataType)
+                if nf is not None
+                else None
+            )
+            if p is not None:
+                merged.append(T.StructField(f.name, p, True, f.metadata))
+                widened = True
+            else:
+                merged.append(f)
+        have = {f.name for f in cur.fields}
+        for f in new.fields:
+            if f.name not in have:
+                merged.append(T.StructField(f.name, f.dataType, True))
+                widened = True
+        return T.StructType(merged) if widened else None
+    if isinstance(cur, T.ArrayType) and isinstance(new, T.ArrayType):
+        p = _promote_type(cur.elementType, new.elementType)
+        if p is not None:
+            return T.ArrayType(p, cur.containsNull or new.containsNull)
+        return None
+    if (
+        isinstance(cur, T.MapType)
+        and isinstance(new, T.MapType)
+        and cur.keyType == new.keyType
+    ):
+        p = _promote_type(cur.valueType, new.valueType)
+        if p is not None:
+            return T.MapType(
+                cur.keyType, p, cur.valueContainsNull or new.valueContainsNull
+            )
+        return None
     return None
+
+
+def _align_cast(col: F.Column, src: T.DataType, dst: T.DataType) -> F.Column:
+    """Cast ``col`` (of type ``src``) to ``dst``, tolerating ADDED
+    nested struct fields. Spark's plain ``cast`` rejects struct casts
+    whose field counts differ, so after a nested widening the incoming
+    (narrower) struct is rebuilt field-by-field: shared fields recurse,
+    fields the source lacks become typed NULLs, and a NULL source
+    struct stays NULL (never a struct of NULLs — LWW payload equality
+    and CDF diffs depend on that). Arrays/maps recurse through
+    ``transform``/``transform_values`` only when their element/value
+    needs structural alignment; everything else is a plain cast, which
+    keeps the pre-existing top-level semantics byte-for-byte."""
+    if src == dst:
+        return col
+    if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
+        by_src = {f.name: f for f in src.fields}
+        parts = []
+        for f in dst.fields:
+            sf = by_src.get(f.name)
+            if sf is None:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                parts.append(
+                    _align_cast(col.getField(f.name), sf.dataType, f.dataType)
+                    .alias(f.name)
+                )
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(
+            F.struct(*parts)
+        )
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        if _needs_structural_align(src.elementType, dst.elementType):
+            return F.transform(
+                col, lambda x: _align_cast(x, src.elementType, dst.elementType)
+            )
+        return col.cast(dst)
+    if isinstance(src, T.MapType) and isinstance(dst, T.MapType):
+        if _needs_structural_align(src.valueType, dst.valueType):
+            return F.transform_values(
+                col, lambda _, v: _align_cast(v, src.valueType, dst.valueType)
+            )
+        return col.cast(dst)
+    return col.cast(dst)
+
+
+def _needs_structural_align(src: T.DataType, dst: T.DataType) -> bool:
+    """True when a plain ``cast`` cannot take ``src`` to ``dst``
+    (struct field sets differ, or a nested element does)."""
+    if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
+        if {f.name for f in src.fields} != {f.name for f in dst.fields}:
+            return True
+        by_src = {f.name: f for f in src.fields}
+        return any(
+            _needs_structural_align(by_src[f.name].dataType, f.dataType)
+            for f in dst.fields
+        )
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        return _needs_structural_align(src.elementType, dst.elementType)
+    if isinstance(src, T.MapType) and isinstance(dst, T.MapType):
+        return _needs_structural_align(src.valueType, dst.valueType)
+    return False
 
 
 def _with_meta_cols(schema: T.StructType) -> T.StructType:
@@ -3881,11 +3990,16 @@ class LakeTable:
         def norm(
             df: DataFrame, lsn: F.Column, deleted: F.Column, sub: F.Column
         ) -> DataFrame:
+            src_types = {f.name: f.dataType for f in df.schema.fields}
             sel = []
             for c in table_cols:
-                sel.append(
-                    (F.col(c) if c in df.columns else F.lit(None)).cast(types[c]).alias(c)
-                )
+                if c in df.columns:
+                    # struct-aware alignment: after a nested widening
+                    # the incoming struct is narrower than the table's
+                    # — plain cast would reject it (field-count rule)
+                    sel.append(_align_cast(F.col(c), src_types[c], types[c]).alias(c))
+                else:
+                    sel.append(F.lit(None).cast(types[c]).alias(c))
             return df.select(
                 *sel,
                 lsn.cast("long").alias(LSN_COL),

@@ -1,0 +1,243 @@
+"""Nested additive schema evolution (Iceberg spec: struct fields may be
+added at any nesting depth in place — including inside array elements
+and map values). The reference stores schema-evolution knobs and never
+applies them (/root/reference/src/load/delta.rs:62-69); here a struct
+payload column widening mid-stream is a first-class merge path:
+transcript `tool` payloads are exactly this shape (a tool call record
+growing an `args`/`calls` field as the agent runtime evolves)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_rs_spark.sinks.lake import (
+    LakeTable,
+    _align_cast,
+    _needs_structural_align,
+    _promote_type,
+)
+
+DDL = (
+    "conv_id string, turn_idx int, "
+    "tool struct<name:string, ok:boolean>, ts timestamp"
+)
+
+
+def _src(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_promote_struct_adds_fields_and_recurses():
+    cur = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("n", T.LongType()),  # nested promotion
+            T.StructField("args", T.StringType()),  # nested add
+        ]
+    )
+    p = _promote_type(cur, new)
+    assert [f.name for f in p.fields] == ["name", "n", "args"]
+    assert p["n"].dataType == T.LongType()
+    # incoming missing a field never shrinks; identical struct is a no-op
+    assert _promote_type(new, cur) is None
+    assert _promote_type(cur, cur) is None
+    # non-promotable nested mismatch keeps the table type
+    bad = T.StructType([T.StructField("n", T.StringType())])
+    got = _promote_type(cur, bad)
+    assert got is None  # nothing widened -> no schema change
+    # array element / map value recursion
+    pa = _promote_type(T.ArrayType(cur), T.ArrayType(new))
+    assert isinstance(pa, T.ArrayType) and pa.elementType["args"]
+    pm = _promote_type(
+        T.MapType(T.StringType(), cur), T.MapType(T.StringType(), new)
+    )
+    assert isinstance(pm, T.MapType) and pm.valueType["args"]
+    # map key type change is never a promotion
+    assert (
+        _promote_type(
+            T.MapType(T.StringType(), cur), T.MapType(T.LongType(), new)
+        )
+        is None
+    )
+
+
+def test_align_cast_null_struct_stays_null(spark):
+    narrow = T.StructType([T.StructField("name", T.StringType())])
+    wide = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("args", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(("grep",),), (None,)], T.StructType([T.StructField("tool", narrow)])
+    )
+    out = df.select(_align_cast(F.col("tool"), narrow, wide).alias("tool"))
+    rows = {r.tool for r in out.collect()}
+    assert ("grep", None) in {tuple(t) if t else None for t in rows}
+    assert None in rows  # NULL struct did NOT become struct(NULL, NULL)
+    assert not _needs_structural_align(narrow, narrow)
+    assert _needs_structural_align(narrow, wide)
+    assert _needs_structural_align(T.ArrayType(narrow), T.ArrayType(wide))
+
+
+def test_merge_widens_nested_struct_in_place(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=4)
+    b1 = _src(
+        spark,
+        [
+            ("c1", 0, ("grep", True), dt.datetime(2025, 1, 1), 1, "I"),
+            ("c2", 0, ("read", False), dt.datetime(2025, 1, 1), 2, "I"),
+        ],
+        "conv_id string, turn_idx int, "
+        "tool struct<name:string, ok:boolean>, ts timestamp, "
+        "lsn long, op string",
+    )
+    t.merge(b1, run_id="r", batch_id=0)
+    # batch 2 arrives with a WIDER tool struct: +calls (nested add)
+    b2 = _src(
+        spark,
+        [
+            ("c2", 0, ("read", True, 5), dt.datetime(2025, 1, 2), 3, "U"),
+            ("c3", 0, ("bash", True, 1), dt.datetime(2025, 1, 2), 4, "I"),
+        ],
+        "conv_id string, turn_idx int, "
+        "tool struct<name:string, ok:boolean, calls:int>, ts timestamp, "
+        "lsn long, op string",
+    )
+    res = t.merge(b2, run_id="r", batch_id=1)
+    assert res["version"] == 2
+    tool_t = t.current().schema()["tool"].dataType
+    assert [f.name for f in tool_t.fields] == ["name", "ok", "calls"]
+    got = {
+        r.conv_id: (r.tool.name, r.tool.ok, r.tool.calls)
+        for r in t.read().collect()
+    }
+    # c1's winner predates the widening: its batch-1 file is read back
+    # through the widened schema with calls = NULL (no rewrite happened)
+    assert got == {
+        "c1": ("grep", True, None),
+        "c2": ("read", True, 5),
+        "c3": ("bash", True, 1),
+    }
+    # a later NARROW batch (pre-widening producer still live) aligns up
+    b3 = _src(
+        spark,
+        [("c1", 0, ("edit", True), dt.datetime(2025, 1, 3), 5, "U")],
+        "conv_id string, turn_idx int, "
+        "tool struct<name:string, ok:boolean>, ts timestamp, "
+        "lsn long, op string",
+    )
+    t.merge(b3, run_id="r", batch_id=2)
+    r = t.read().where(F.col("conv_id") == "c1").first()
+    assert (r.tool.name, r.tool.ok, r.tool.calls) == ("edit", True, None)
+
+
+def test_merge_widens_nested_promotion_inside_struct(spark, tmp_path):
+    ddl = "conv_id string, turn_idx int, tool struct<n:int>, ts timestamp"
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl, num_buckets=2)
+    b1 = _src(
+        spark,
+        [("c1", 0, (7,), dt.datetime(2025, 1, 1), 1, "I")],
+        "conv_id string, turn_idx int, tool struct<n:int>, "
+        "ts timestamp, lsn long, op string",
+    )
+    t.merge(b1, run_id="r", batch_id=0)
+    b2 = _src(
+        spark,
+        [("c2", 0, (2**40,), dt.datetime(2025, 1, 2), 2, "I")],
+        "conv_id string, turn_idx int, tool struct<n:bigint>, "
+        "ts timestamp, lsn long, op string",
+    )
+    t.merge(b2, run_id="r", batch_id=1)
+    tool_t = t.current().schema()["tool"].dataType
+    assert tool_t["n"].dataType == T.LongType()
+    got = {r.conv_id: r.tool.n for r in t.read().collect()}
+    assert got == {"c1": 7, "c2": 2**40}
+
+
+def test_merge_widens_array_of_struct(spark, tmp_path):
+    ddl = (
+        "conv_id string, turn_idx int, "
+        "steps array<struct<name:string>>, ts timestamp"
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl, num_buckets=2)
+    b1 = _src(
+        spark,
+        [("c1", 0, [("plan",), ("act",)], dt.datetime(2025, 1, 1), 1, "I")],
+        "conv_id string, turn_idx int, steps array<struct<name:string>>, "
+        "ts timestamp, lsn long, op string",
+    )
+    t.merge(b1, run_id="r", batch_id=0)
+    b2 = _src(
+        spark,
+        [
+            (
+                "c2",
+                0,
+                [("plan", 12), (None, None)],
+                dt.datetime(2025, 1, 2),
+                2,
+                "I",
+            )
+        ],
+        "conv_id string, turn_idx int, "
+        "steps array<struct<name:string, ms:int>>, "
+        "ts timestamp, lsn long, op string",
+    )
+    t.merge(b2, run_id="r", batch_id=1)
+    elem = t.current().schema()["steps"].dataType.elementType
+    assert [f.name for f in elem.fields] == ["name", "ms"]
+    got = {r.conv_id: [tuple(s) for s in r.steps] for r in t.read().collect()}
+    assert got["c1"] == [("plan", None), ("act", None)]  # old file, null-fill
+    assert got["c2"] == [("plan", 12), (None, None)]
+
+
+def test_nested_widening_on_merge_on_read(spark, tmp_path):
+    """Delta files written before and after the widening resolve
+    together at read time under the tip schema."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        DDL,
+        num_buckets=2,
+        props={"write.merge.mode": "merge-on-read", "write.delta.max-files": 8},
+    )
+    b1 = _src(
+        spark,
+        [("c1", 0, ("grep", True), dt.datetime(2025, 1, 1), 1, "I")],
+        "conv_id string, turn_idx int, "
+        "tool struct<name:string, ok:boolean>, ts timestamp, "
+        "lsn long, op string",
+    )
+    t.merge(b1, run_id="r", batch_id=0)
+    b2 = _src(
+        spark,
+        [
+            ("c1", 0, ("grep", True, 9), dt.datetime(2025, 1, 2), 2, "U"),
+            ("c2", 0, ("bash", False, 0), dt.datetime(2025, 1, 2), 3, "I"),
+        ],
+        "conv_id string, turn_idx int, "
+        "tool struct<name:string, ok:boolean, calls:int>, ts timestamp, "
+        "lsn long, op string",
+    )
+    t.merge(b2, run_id="r", batch_id=1)
+    got = {
+        r.conv_id: (r.tool.name, r.tool.ok, r.tool.calls)
+        for r in t.read().collect()
+    }
+    assert got == {"c1": ("grep", True, 9), "c2": ("bash", False, 0)}
+    # compaction folds mixed-width delta files under the tip schema
+    t.compact()
+    got2 = {
+        r.conv_id: (r.tool.name, r.tool.ok, r.tool.calls)
+        for r in t.read().collect()
+    }
+    assert got2 == got
