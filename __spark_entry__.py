@@ -1038,6 +1038,76 @@ def q_cdc_schema_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested additive schema evolution under the oracle (Iceberg spec:
+    struct fields may be ADDED at any depth in place). Batch 1 merges a
+    `tool` STRUCT payload with one field (name); batch 2 arrives with a
+    WIDER struct (+calls), which widens the table's struct column in
+    place (sinks/lake._promote_type recursing into StructType) — batch-1
+    winners' files are then read back through the widened schema with
+    the new nested field null-filled by the parquet reader, no rewrite.
+    Transcript tool-call payloads are exactly this shape. The oracle
+    recomputes the LWW final state in DuckDB with the nested field
+    present only for keys whose winner arrived after the widening.
+    The reference stores schema-evolution knobs and never applies them
+    (/root/reference/src/load/delta.rs:62-69)."""
+    import tempfile
+
+    from etl_rs_spark.sinks.lake import LakeTable
+
+    e = _t(spark, sf_dir, "events")
+    split = int(e.agg(F.max("event_id")).first()[0]) // 2
+
+    def _base(pred, tool_col):
+        return e.where(pred).select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            tool_col.alias("tool"),
+        )
+
+    b1 = _base(
+        F.col("event_id") <= split,
+        F.struct(F.col("event_type").alias("name")),
+    )
+    b2 = _base(
+        F.col("event_id") > split,
+        F.struct(
+            F.col("event_type").alias("name"),
+            F.floor(F.col("value") * 10).cast("int").alias("calls"),
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="nested-entry-")
+    t = LakeTable.create(
+        spark,
+        f"{work}/t",
+        "conv_id string, turn_idx int, tool struct<name:string>, ts timestamp",
+        num_buckets=8,
+    )
+    t.merge(
+        lww_dedup(b1, keys=["conv_id", "turn_idx"], order_cols=["ts", "lsn"]),
+        run_id="nested",
+        batch_id=0,
+    )
+    t.merge(
+        lww_dedup(b2, keys=["conv_id", "turn_idx"], order_cols=["ts", "lsn"]),
+        run_id="nested",
+        batch_id=1,
+    )
+    tool_t = t.current().schema()["tool"].dataType
+    assert [f.name for f in tool_t.fields] == ["name", "calls"], tool_t
+    return t.read().select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.col("tool.name").alias("tool_name"),
+        F.col("tool.calls").alias("tool_calls"),
+        "ts",
+    )
+
+
 def q_cdc_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-id schema evolution under the oracle (Iceberg spec:
     renames preserve the field id; a dropped-then-readded name gets a
@@ -1659,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "change_data_feed": q_change_data_feed,
         "cdc_schema_promotion": q_cdc_schema_promotion,
+        "cdc_nested_evolution": q_cdc_nested_evolution,
         "cdc_apply_mor": q_cdc_apply_mor,
         "point_lookup": q_point_lookup,
         "point_lookup_range": q_point_lookup_range,
@@ -2513,6 +2584,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT user_id, score, ts
+            FROM w
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_nested_evolution": """
+            WITH split AS (SELECT max(event_id) // 2 AS wm FROM events),
+            w AS (
+                SELECT user_id, ts, event_id AS lsn, event_type,
+                       CASE WHEN event_id > (SELECT wm FROM split)
+                            THEN CAST(floor(value * 10) AS INTEGER)
+                            ELSE NULL END AS tool_calls,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events
+            )
+            SELECT user_id, event_type AS tool_name, tool_calls, ts
             FROM w
             WHERE rn = 1 AND event_type <> 'error'
         """,
