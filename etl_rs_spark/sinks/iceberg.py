@@ -28,6 +28,36 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_rs_spark.errors import LoadError
 
 
+def _evolution_ddl(cur, promoted, path: str):
+    """Yield the field-path DDL steps taking type ``cur`` to its
+    promoted form: ("add", "tool.calls", "int") for nested adds and
+    ("promote", "tool.n", "bigint") for nested scalar promotions —
+    Iceberg's ADD COLUMN / ALTER COLUMN path syntax (array elements
+    address as ``col.element``, map values as ``col.value``)."""
+    from pyspark.sql import types as T
+
+    if isinstance(cur, T.StructType) and isinstance(promoted, T.StructType):
+        have = {f.name: f for f in cur.fields}
+        for f in promoted.fields:
+            cf = have.get(f.name)
+            if cf is None:
+                yield "add", f"{path}.{f.name}", f.dataType.simpleString()
+            elif cf.dataType != f.dataType:
+                yield from _evolution_ddl(
+                    cf.dataType, f.dataType, f"{path}.{f.name}"
+                )
+    elif isinstance(cur, T.ArrayType) and isinstance(promoted, T.ArrayType):
+        yield from _evolution_ddl(
+            cur.elementType, promoted.elementType, f"{path}.element"
+        )
+    elif isinstance(cur, T.MapType) and isinstance(promoted, T.MapType):
+        yield from _evolution_ddl(
+            cur.valueType, promoted.valueType, f"{path}.value"
+        )
+    else:
+        yield "promote", path, promoted.simpleString()
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(
@@ -244,7 +274,12 @@ class IcebergTable:
         """Iceberg-legal in-place type promotion before MERGE (same
         lattice as LakeTable: int->long, float->double, decimal
         precision growth — exactly the ALTER COLUMN TYPE changes the
-        Iceberg spec permits). Returns {column: widened_type}."""
+        Iceberg spec permits). Nested widenings (a struct field added
+        or promoted at any depth, LakeTable._promote_type's recursive
+        lattice) are emitted as the field-path DDL Iceberg actually
+        accepts — ``ADD COLUMN parent.child TYPE`` / ``ALTER COLUMN
+        parent.child TYPE T`` — never a wholesale struct type change,
+        which Iceberg SQL rejects. Returns {column_path: widened_type}."""
         from etl_rs_spark.sinks.lake import _promote_type
 
         existing = {
@@ -257,12 +292,20 @@ class IcebergTable:
             if cur is None:
                 continue
             p = _promote_type(cur, f.dataType)
-            if p is not None:
-                typ = p.simpleString()
-                self.spark.sql(
-                    f"ALTER TABLE {self.table} ALTER COLUMN {f.name} TYPE {typ}"
-                )
-                out[f.name] = typ
+            if p is None:
+                continue
+            for kind, path, typ in _evolution_ddl(cur, p, f.name):
+                if kind == "add":
+                    self.spark.sql(
+                        f"ALTER TABLE {self.table} "
+                        f"ADD COLUMN IF NOT EXISTS {path} {typ}"
+                    )
+                else:
+                    self.spark.sql(
+                        f"ALTER TABLE {self.table} "
+                        f"ALTER COLUMN {path} TYPE {typ}"
+                    )
+                out[path] = typ
         return out
 
     def merge(
@@ -283,6 +326,25 @@ class IcebergTable:
         }
         self.widen({k: v for k, v in incoming.items() if k not in existing})
         promoted = self.promote(winners)
+
+        # after a nested widening the table struct is wider than the
+        # source's — MERGE's UPDATE SET t.col = s.col needs the source
+        # rebuilt to the table shape (missing nested fields as typed
+        # NULLs), exactly LakeTable's norm-side alignment
+        from pyspark.sql import functions as F
+
+        from etl_rs_spark.sinks.lake import _align_cast, _needs_structural_align
+
+        tbl_types = {
+            f.name: f.dataType
+            for f in self.spark.read.table(self.table).schema.fields
+        }
+        for f in winners.schema.fields:
+            dst = tbl_types.get(f.name)
+            if dst is not None and _needs_structural_align(f.dataType, dst):
+                winners = winners.withColumn(
+                    f.name, _align_cast(F.col(f.name), f.dataType, dst)
+                )
 
         cols = [c for c in winners.columns if c not in ("op", "lsn")]
         winners.createOrReplaceTempView("__cdc_src")

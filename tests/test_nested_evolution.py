@@ -241,3 +241,43 @@ def test_nested_widening_on_merge_on_read(spark, tmp_path):
         for r in t.read().collect()
     }
     assert got2 == got
+
+
+def test_iceberg_twin_nested_evolution_ddl():
+    """The jar-gated twin emits field-path DDL for nested widenings
+    (pure planning — no Iceberg needed to verify the statements)."""
+    from etl_rs_spark.sinks.iceberg import _evolution_ddl
+
+    cur = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("args", T.StringType()),
+        ]
+    )
+    promoted = _promote_type(cur, new)
+    steps = list(_evolution_ddl(cur, promoted, "tool"))
+    assert ("promote", "tool.n", "bigint") in steps
+    assert ("add", "tool.args", "string") in steps
+    arr = list(
+        _evolution_ddl(
+            T.ArrayType(cur), _promote_type(T.ArrayType(cur), T.ArrayType(new)), "steps"
+        )
+    )
+    assert ("add", "steps.element.args", "string") in arr
+    mp = list(
+        _evolution_ddl(
+            T.MapType(T.StringType(), cur),
+            _promote_type(
+                T.MapType(T.StringType(), cur), T.MapType(T.StringType(), new)
+            ),
+            "m",
+        )
+    )
+    assert ("add", "m.value.args", "string") in mp
