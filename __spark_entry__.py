@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_rs_spark.functions.coercion import bool_flex, date_flex
 from etl_rs_spark.operators.aggregate import aggregate
@@ -1108,6 +1109,66 @@ def q_cdc_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only import under the oracle (Iceberg add_files /
+    migrate): batch 1 is written as PLAIN PARQUET by an external writer
+    (no engine columns) and registered via LakeTable.add_files — zero
+    data copied or rewritten — then batch 2 merges as a genuine stream
+    on top. Imported rows carry _lsn = -1, so the final LWW state is
+    event-time-first with stream events beating imports at equal ts;
+    the oracle recomputes exactly that in DuckDB (imports as lsn -1
+    rows). The reference has no import path at all — its extractors
+    copy everything through the engine (/root/reference/src/extract/)."""
+    import tempfile
+
+    from etl_rs_spark.sinks.lake import LakeTable
+
+    e = _t(spark, sf_dir, "events")
+    split = int(e.agg(F.max("event_id")).first()[0]) // 2
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    corpus = (
+        e.where(F.col("event_id") <= split)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.col("event_type").alias("text"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="addfiles-entry-")
+    corpus.coalesce(2).write.parquet(f"{work}/corpus")
+    t = LakeTable.create(
+        spark,
+        f"{work}/t",
+        "conv_id string, turn_idx int, text string, ts timestamp",
+        num_buckets=8,
+    )
+    res = t.add_files([f"{work}/corpus"])
+    assert res["mode"] == "add-files" and res["files_added"] >= 1
+    b2 = e.where(F.col("event_id") > split).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("event_type").alias("text"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    t.merge(
+        lww_dedup(b2, keys=["conv_id", "turn_idx"], order_cols=["ts", "lsn"]),
+        run_id="addfiles",
+        batch_id=0,
+    )
+    return t.read().select(
+        F.col("conv_id").cast("long").alias("user_id"), "text", "ts"
+    )
+
+
 def q_cdc_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-id schema evolution under the oracle (Iceberg spec:
     renames preserve the field id; a dropped-then-readded name gets a
@@ -1730,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_data_feed": q_change_data_feed,
         "cdc_schema_promotion": q_cdc_schema_promotion,
         "cdc_nested_evolution": q_cdc_nested_evolution,
+        "cdc_add_files": q_cdc_add_files,
         "cdc_apply_mor": q_cdc_apply_mor,
         "point_lookup": q_point_lookup,
         "point_lookup_range": q_point_lookup_range,
@@ -2602,6 +2664,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type AS tool_name, tool_calls, ts
             FROM w
             WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_add_files": """
+            WITH split AS (SELECT max(event_id) // 2 AS wm FROM events),
+            b1 AS (
+                SELECT user_id, event_type AS text, ts,
+                       CAST(-1 AS BIGINT) AS lsn, 'U' AS op
+                FROM (
+                    SELECT user_id, event_type, ts,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY ts DESC,
+                                                       event_id DESC) AS rn
+                    FROM events
+                    WHERE event_id <= (SELECT wm FROM split)
+                )
+                WHERE rn = 1
+            ),
+            b2 AS (
+                SELECT user_id, event_type AS text, ts, event_id AS lsn,
+                       CASE WHEN event_type = 'error' THEN 'D'
+                            ELSE 'U' END AS op
+                FROM events
+                WHERE event_id > (SELECT wm FROM split)
+            ),
+            u AS (
+                SELECT * FROM b1 UNION ALL SELECT * FROM b2
+            ),
+            w AS (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts DESC, lsn DESC)
+                          AS rn
+                FROM u
+            )
+            SELECT user_id, text, ts
+            FROM w
+            WHERE rn = 1 AND op <> 'D'
         """,
         "cdc_apply_mor": """
             WITH w AS (

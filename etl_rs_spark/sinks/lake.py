@@ -385,6 +385,41 @@ def _align_cast(col: F.Column, src: T.DataType, dst: T.DataType) -> F.Column:
     return col.cast(dst)
 
 
+def _read_compatible(file_t: T.DataType, tbl_t: T.DataType) -> bool:
+    """Can a parquet column of type ``file_t`` be served under table
+    type ``tbl_t`` without rewriting the file? True for equal types,
+    Iceberg-promotable scalars (the widening parquet read upcasts), and
+    structs whose fields are a name-wise subset with compatible types
+    (missing nested fields null-fill; the reader resolves by name, so
+    field order is irrelevant). Used by add_files validation."""
+    if file_t == tbl_t:
+        return True
+    # naive (NTZ) parquet timestamps — the norm for externally-written
+    # corpora — read under the table's TIMESTAMP: the engine pins the
+    # session timezone to UTC (session.py), where the two annotations
+    # denote the same instant
+    if isinstance(file_t, T.TimestampNTZType) and isinstance(
+        tbl_t, T.TimestampType
+    ):
+        return True
+    if isinstance(file_t, T.StructType) and isinstance(tbl_t, T.StructType):
+        by_tbl = {f.name: f for f in tbl_t.fields}
+        return all(
+            f.name in by_tbl
+            and _read_compatible(f.dataType, by_tbl[f.name].dataType)
+            for f in file_t.fields
+        )
+    if isinstance(file_t, T.ArrayType) and isinstance(tbl_t, T.ArrayType):
+        return _read_compatible(file_t.elementType, tbl_t.elementType)
+    if (
+        isinstance(file_t, T.MapType)
+        and isinstance(tbl_t, T.MapType)
+        and file_t.keyType == tbl_t.keyType
+    ):
+        return _read_compatible(file_t.valueType, tbl_t.valueType)
+    return _promote_type(file_t, tbl_t) == tbl_t
+
+
 def _needs_structural_align(src: T.DataType, dst: T.DataType) -> bool:
     """True when a plain ``cast`` cannot take ``src`` to ``dst``
     (struct field sets differ, or a nested element does)."""
@@ -530,7 +565,14 @@ def _lww_resolve(
     # order tiers: (ts, _lsn, _sub) — see SUB_COL. Legacy NULL _sub
     # coalesces to 0 so ties resolve deterministically (stream rows,
     # _sub=1, beat stored row-DML rows, _sub=0, at equal (ts, lsn)).
-    order_exprs = [F.col(ts_col), F.col(LSN_COL)]
+    # NULL _lsn (files registered by add_files carry no engine columns;
+    # the scan null-fills them) coalesces to -1 — append()'s "predates
+    # every stream event" convention — so imported rows lose LWW to any
+    # genuine binlog event for the same key at the same ts
+    order_exprs = [
+        F.col(ts_col),
+        F.coalesce(F.col(LSN_COL), F.lit(-1).cast("long")).alias(LSN_COL),
+    ]
     if SUB_COL in df.columns:
         order_exprs.append(
             F.coalesce(F.col(SUB_COL), F.lit(0)).alias(SUB_COL)
@@ -3233,6 +3275,145 @@ class LakeTable:
         self._commit(new)
         return {"version": new.version, "mode": "append"}
 
+    def add_files(self, paths: Sequence[str]) -> dict[str, Any]:
+        """Register EXISTING parquet files into the table without
+        reading or rewriting their data — Iceberg's ``add_files`` /
+        ``migrate`` procedure, the onboarding path for a pre-existing
+        corpus (at 100 TB an import must be a metadata-only commit, not
+        a copy). ``paths`` are parquet files or directories (``*.parquet``
+        globbed non-recursively).
+
+        The imported files join the manifest as one coarse group
+        (``spec 1, bucket 0`` — a file whose keys were never routed by
+        the table's bucket hash covers every bucket, the exact
+        representation pre-evolution files already use) and are marked
+        ``kind=delta``: reads LWW-resolve them against native files, so
+        duplicate keys between the import and the table — or inside the
+        import — collapse deterministically, with imported rows taking
+        ``_lsn = -1`` (they lose to any genuine stream event at equal
+        ts, append()'s convention). The first ``compact()`` (recommended
+        immediately after a large import) or any merge touching a
+        bucket folds them into properly bucketed, deduplicated base
+        files — until then, point lookups still file-skip on the
+        imported footers' own ``min_key``/``max_key`` bounds.
+
+        Imported entries are stamped ``external`` and are NEVER deleted
+        by ``expire_snapshots`` (the originals belong to the user; the
+        same reason Iceberg's add_files docs warn about gc on imported
+        locations). ``vacuum_orphans`` only walks the table's own
+        directories, so externals are structurally safe there.
+
+        Every file must physically contain the key and event-time
+        columns; other table columns may be absent (null-filled at
+        scan, exactly like post-widening reads of old files) and each
+        present column's type must be the table's or Iceberg-promotable
+        to it (the widening parquet read handles the upcast). Extra
+        columns are rejected — evolve the table first (add_column), or
+        drop them upstream."""
+        import pyarrow.parquet as pq
+
+        snap = self.current()
+        files: list[str] = []
+        for p in paths:
+            if os.path.isdir(p):
+                files.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+            elif os.path.exists(p):
+                files.append(p)
+            else:
+                raise LoadError(f"add_files: no such path {p!r}")
+        if not files:
+            raise LoadError("add_files: no parquet files found")
+        schema = snap.schema()
+        types = {f.name: f.dataType for f in schema.fields}
+        reserved = {LSN_COL, DELETED_COL, SUB_COL, _BUCKET}
+        required = set(snap.key_cols) | {snap.order_cols[0]}
+        # per-file physical column check — footer-only, concurrent
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+            names = dict(
+                zip(
+                    files,
+                    ex.map(
+                        lambda p: set(
+                            pq.ParquetFile(p).schema_arrow.names
+                        ),
+                        files,
+                    ),
+                )
+            )
+        for p, cols in names.items():
+            missing = required - cols
+            if missing:
+                raise LoadError(
+                    f"add_files: {p!r} lacks required column(s) "
+                    f"{sorted(missing)} (table keys + event time must "
+                    f"be physically present)"
+                )
+            bad = cols & reserved
+            if bad:
+                raise LoadError(
+                    f"add_files: {p!r} carries engine-managed "
+                    f"column(s) {sorted(bad)}; strip them upstream"
+                )
+        # merged logical schema of the import vs the table (footer-only)
+        imp = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        for f in imp.schema.fields:
+            tt = types.get(f.name)
+            if tt is None:
+                raise LoadError(
+                    f"add_files: column {f.name!r} is not in the table "
+                    f"schema; add_column() it first or drop it upstream"
+                )
+            if f.dataType != tt and not _read_compatible(f.dataType, tt):
+                raise LoadError(
+                    f"add_files: column {f.name!r} has type "
+                    f"{f.dataType.simpleString()} which is neither the "
+                    f"table's {tt.simpleString()} nor promotable to it"
+                )
+        stats = _footer_stats_many(
+            files, snap.order_cols[0], snap.bucket_col
+        )
+        new_files = [
+            {
+                "path": p,
+                "bucket": 0,
+                "spec_n": 1,
+                "epoch": snap.epoch,
+                "kind": "delta",
+                "external": True,
+                **stats[p],
+            }
+            for p in files
+        ]
+        lazy = (
+            "files" not in snap.__dict__
+            and snap.__dict__.get("_files_loader") is not None
+        )
+        if lazy:
+            by_path = {m["group"]: m["path"] for m in snap.manifest_list}
+            gk = _group_key(new_files[0], snap)
+            prior = (
+                _load_manifest(self.meta_dir, by_path[gk])
+                if gk in by_path
+                else []
+            )
+            new = snap.child()
+            new.__dict__["_group_edits"] = {gk: prior + new_files}
+        else:
+            new = snap.child(files=snap.files + new_files)
+        new.operation = "add-files"
+        new.__dict__["_data_commit"] = True  # rebase-eligible
+        self._commit(new)
+        return {
+            "version": new.version,
+            "mode": "add-files",
+            "files_added": len(new_files),
+            "rows_added": int(
+                sum(s.get("rows") or 0 for s in stats.values())
+            ),
+        }
+
     def overwrite(self, df: DataFrame, lsn_col: str | None = None) -> dict[str, Any]:
         """Full replace (reference DeltaLoader Overwrite mode)."""
         snap = self.current()
@@ -3365,7 +3546,11 @@ class LakeTable:
             dead_meta.update(m["path"] for m in s.manifest_list)
             dead_meta.update(s.wm_segments)
             if not s.manifest_list:
-                dead_candidates.update(f["path"] for f in s.files)
+                # external (add_files-imported) files are the user's —
+                # never deletion candidates, even once dead
+                dead_candidates.update(
+                    f["path"] for f in s.files if not f.get("external")
+                )
         live_mf = [
             r for r in live_meta if r.split("/")[-1].startswith("mf-")
         ]
@@ -3385,7 +3570,9 @@ class LakeTable:
                 )
             for rel in dead_mf:
                 dead_candidates.update(
-                    e["path"] for e in _load_manifest(self.meta_dir, rel)
+                    e["path"]
+                    for e in _load_manifest(self.meta_dir, rel)
+                    if not e.get("external")
                 )
             removed_files = 0
             for path in dead_candidates - live:
@@ -3426,15 +3613,24 @@ class LakeTable:
         out = None
         if mf_rel:
             raw = (
-                self.spark.read.schema("files array<struct<path:string>>")
+                self.spark.read.schema(
+                    "files array<struct<path:string,external:boolean>>"
+                )
                 .option("multiLine", True)
                 .json(
                     [os.path.join(self.meta_dir, r) for r in sorted(mf_rel)]
                 )
             )
-            out = raw.select(F.explode("files").alias("f")).select(
-                sfx(F.col("f.path")).alias("sfx"),
-                F.col("f.path").alias("path"),
+            out = (
+                raw.select(F.explode("files").alias("f"))
+                # external (add_files) entries are the user's files:
+                # never candidates for deletion, and never under the
+                # table root for vacuum's listing — excluded here
+                .where(~F.coalesce(F.col("f.external"), F.lit(False)))
+                .select(
+                    sfx(F.col("f.path")).alias("sfx"),
+                    F.col("f.path").alias("path"),
+                )
             )
         if inline:
             idf = self.spark.createDataFrame(
