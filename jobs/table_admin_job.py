@@ -109,6 +109,13 @@ def parse_args(argv):
                         "use on large tables — the driver never holds "
                         "the file list)")
 
+    af = sub.add_parser("add-files")
+    af.add_argument("--paths", required=True,
+                    help="comma-separated parquet files or directories "
+                         "to register in place (Iceberg add_files / "
+                         "migrate: metadata-only, no data copied; "
+                         "compact afterwards to bucket the import)")
+
     lk = sub.add_parser("lookup")
     lk.add_argument("--keys", required=True)
     lk.add_argument("--limit", type=int, default=100)
@@ -244,6 +251,8 @@ def main(argv=None) -> int:
         out = t.vacuum_orphans(
             older_than_s=args.older_than_s, distributed=args.distributed
         )
+    elif args.cmd == "add-files":
+        out = t.add_files(args.paths.split(","))
     elif args.cmd == "lookup":
         rows = t.lookup(args.keys.split(",")).limit(args.limit).collect()
         out = {"rows": [r.asDict() for r in rows]}

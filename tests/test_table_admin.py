@@ -187,3 +187,27 @@ def test_admin_branch_wap_lifecycle(spark, tmp_path, table, capsys):
     _run(capsys, p, "create-branch", "--name", "aged", "--max-age-ms", "1")
     assert table.current().ref_retention.get("branch:aged") == 1
     _run(capsys, p, "drop-branch", "--name", "aged")
+
+
+def test_admin_add_files(spark, tmp_path, table, capsys):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": ["i1", "i2"],
+                "turn_idx": pa.array([0, 0], type=pa.int32()),
+                "text": ["imported", "imported"],
+                "ts": [dt.datetime(2025, 1, 1)] * 2,
+            }
+        ),
+        str(d / "f.parquet"),
+    )
+    out = _run(capsys, table.path, "add-files", "--paths", str(d))
+    assert out["mode"] == "add-files" and out["files_added"] == 1
+    assert table.read().where("conv_id = 'i1'").count() == 1
