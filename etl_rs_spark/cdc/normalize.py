@@ -139,8 +139,35 @@ def normalize_events(
     if keys is None:
         keys = discover_payload_keys(envelope, payload_col)
 
+    # a key whose spec target is a COMPLEX type (struct/array/map — a
+    # transcript's tool-call record, a step list) parses natively inside
+    # the one from_json pass: the field gets the declared type instead
+    # of string, so nested payloads flow through the stream to the
+    # MERGE's nested schema evolution with no re-parse and no Python.
+    # Malformed nested values null out (PERMISSIVE), same contract as
+    # try_cast on scalars.
+    def _target_type(k: str) -> T.DataType | None:
+        t_ddl = spec.get(k)
+        if t_ddl is None:
+            return None
+        try:
+            dt = T.StructType.fromDDL(f"`{k}` {t_ddl}")[0].dataType
+        except Exception:
+            return None
+        return (
+            dt
+            if isinstance(dt, (T.StructType, T.ArrayType, T.MapType))
+            else None
+        )
+
+    complex_types = {
+        k: dt for k in keys if (dt := _target_type(k)) is not None
+    }
     payload_schema = T.StructType(
-        [T.StructField(k, T.StringType()) for k in keys]
+        [
+            T.StructField(k, complex_types.get(k, T.StringType()))
+            for k in keys
+        ]
     )
     df = envelope.withColumn(
         "__p", F.from_json(F.col(payload_col), payload_schema)
@@ -155,6 +182,9 @@ def normalize_events(
     for k in keys:
         c = F.col(f"__p.{k}")
         target = spec.get(k)
+        if k in complex_types:
+            cols.append(c.alias(k))  # already parsed to the target type
+            continue
         if coerce and target is not None and target in PANDAS_COERCERS:
             c = PANDAS_COERCERS[target](c)  # vectorized Arrow batch coercion
         elif coerce and target is not None:
@@ -172,9 +202,14 @@ def coerce_columns(df: DataFrame, spec: dict[str, str] | None = None) -> DataFra
     duplicate event — same result, a fraction of the Arrow traffic."""
     spec = DEFAULT_COERCE_SPEC if spec is None else spec
     out = {}
+    types = {f.name: f.dataType for f in df.schema.fields}
     for k, target in spec.items():
         if k not in df.columns:
             continue
+        if isinstance(
+            types[k], (T.StructType, T.ArrayType, T.MapType)
+        ):
+            continue  # parsed natively by normalize_events already
         c = F.col(k)
         out[k] = (
             PANDAS_COERCERS[target](c)

@@ -281,3 +281,75 @@ def test_iceberg_twin_nested_evolution_ddl():
         )
     )
     assert ("add", "m.value.args", "string") in mp
+
+
+def test_nested_payload_through_stream(spark, tmp_path):
+    """End-to-end: nested tool-call payloads ride the binlog as JSON,
+    parse natively to a struct via the coerce-spec (no string
+    intermediary, no Python), and the mid-stream arrival of a new
+    nested field widens the table struct in place."""
+    import os
+
+    from etl_rs_spark.cdc.stream import StreamDriver
+    from etl_rs_spark.generator import write_event_files
+
+    early = spark.createDataFrame(
+        [
+            ("c1", 0, dt.datetime(2025, 1, 1), 1, "U", ("grep",)),
+            ("c2", 0, dt.datetime(2025, 1, 1), 2, "U", ("read",)),
+        ],
+        "conv_id string, turn_idx int, ts timestamp, lsn long, "
+        "op string, tool_info struct<name:string>",
+    )
+    late = spark.createDataFrame(
+        [
+            ("c2", 0, dt.datetime(2025, 1, 2), 3, "U", ("bash", 4)),
+            ("c3", 0, dt.datetime(2025, 1, 2), 4, "U", ("edit", 1)),
+        ],
+        "conv_id string, turn_idx int, ts timestamp, lsn long, "
+        "op string, tool_info struct<name:string, calls:int>",
+    )
+
+    def _env(df):
+        return df.select(
+            "lsn",
+            "op",
+            "conv_id",
+            "turn_idx",
+            "ts",
+            F.to_json(F.struct("tool_info")).alias("payload"),
+        )
+
+    binlog = str(tmp_path / "binlog")
+    os.makedirs(binlog)
+    write_event_files(_env(early), binlog, n_files=1)
+    # second file sorts after the first -> applied in a later microbatch
+    _env(late).coalesce(1).write.mode("append").parquet(binlog)
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        "conv_id string, turn_idx int, tool_info struct<name:string>, "
+        "ts timestamp",
+        num_buckets=4,
+    )
+    d = StreamDriver(
+        spark,
+        t,
+        binlog,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        coerce_spec={"tool_info": "struct<name:string, calls:int>"},
+    )
+    d.run_available_now(timeout_s=300)
+    tool_t = t.current().schema()["tool_info"].dataType
+    assert [f.name for f in tool_t.fields] == ["name", "calls"]
+    got = {
+        r.conv_id: (r.tool_info.name, r.tool_info.calls)
+        for r in t.read().collect()
+    }
+    assert got == {
+        "c1": ("grep", None),
+        "c2": ("bash", 4),
+        "c3": ("edit", 1),
+    }
