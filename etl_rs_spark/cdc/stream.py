@@ -74,6 +74,8 @@ class StreamDriver:
                     delay_ms=p.retry_delay_ms,
                     backoff_multiplier=p.retry_backoff_multiplier,
                 )
+            if coerce_spec is None:
+                coerce_spec = engine.cdc.coerce_spec
         self.spark = spark
         self.table = table
         self.events_dir = events_dir

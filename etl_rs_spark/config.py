@@ -127,6 +127,14 @@ class CdcConfig:
     #: coverage (StreamDriver.lsn_coverage) so a lost binlog segment
     #: surfaces as a hole instead of silent data loss.
     track_lsn_gaps: bool = True
+    #: payload key -> target type for normalization (overrides the
+    #: built-in DEFAULT_COERCE_SPEC when set). Complex targets
+    #: (``struct<...>``/``array<...>``/``map<...>``) parse natively
+    #: inside the from_json pass (cdc/normalize.normalize_events), so a
+    #: transcript's nested tool-call payload types end-to-end from TOML:
+    #:   [cdc.coerce_spec]
+    #:   tool_info = "struct<name:string, calls:int>"
+    coerce_spec: dict | None = None
     #: apply the stream onto this BRANCH of the table instead of main
     #: (LakeTable.on_branch) — the write-audit-publish ingest pattern:
     #: a suspect binlog window lands on a branch, gets audited, then

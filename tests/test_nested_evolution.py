@@ -353,3 +353,34 @@ def test_nested_payload_through_stream(spark, tmp_path):
         "c2": ("bash", 4),
         "c3": ("edit", 1),
     }
+
+
+def test_coerce_spec_from_toml_config(spark, tmp_path):
+    from etl_rs_spark.cdc.stream import StreamDriver
+    from etl_rs_spark.config import EngineConfig
+
+    cfg = EngineConfig.from_toml(
+        """
+        [cdc]
+        num_buckets = 4
+
+        [cdc.coerce_spec]
+        tool_info = "struct<name:string, calls:int>"
+        meta_active = "boolean"
+        """
+    )
+    assert cfg.cdc.coerce_spec == {
+        "tool_info": "struct<name:string, calls:int>",
+        "meta_active": "boolean",
+    }
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), DDL, num_buckets=4
+    )
+    d = StreamDriver(
+        spark,
+        t,
+        str(tmp_path / "binlog"),
+        str(tmp_path / "ckpt"),
+        engine=cfg,
+    )
+    assert d.coerce_spec == cfg.cdc.coerce_spec
