@@ -107,10 +107,13 @@ class IcebergTable:
         return df.where("NOT coalesce(_deleted, false)").drop("_lsn", "_deleted")
 
     def widen(self, new_cols: dict[str, str]) -> None:
-        """Additive schema evolution before MERGE."""
+        """Additive schema evolution before MERGE. Plain ADD COLUMN:
+        Spark's ALTER TABLE grammar has no IF NOT EXISTS for columns
+        (verified: ParseException on 4.1.2); callers pass only names
+        absent from the live schema."""
         for name, typ in new_cols.items():
             self.spark.sql(
-                f"ALTER TABLE {self.table} ADD COLUMN IF NOT EXISTS {name} {typ}"
+                f"ALTER TABLE {self.table} ADD COLUMN {name} {typ}"
             )
 
     def rename_column(self, old: str, new: str) -> None:
@@ -296,9 +299,12 @@ class IcebergTable:
                 continue
             for kind, path, typ in _evolution_ddl(cur, p, f.name):
                 if kind == "add":
+                    # plain ADD COLUMN: IF NOT EXISTS is a
+                    # ParseException in Spark's column grammar, and
+                    # _evolution_ddl only emits paths absent from cur
                     self.spark.sql(
                         f"ALTER TABLE {self.table} "
-                        f"ADD COLUMN IF NOT EXISTS {path} {typ}"
+                        f"ADD COLUMN {path} {typ}"
                     )
                 else:
                     self.spark.sql(

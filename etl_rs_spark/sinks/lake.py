@@ -137,7 +137,10 @@ def _bound_micros(v: Any) -> int | None:
 
 
 def _footer_stats(
-    path: str, ts_col: str | None = None, key_col: str | None = None
+    path: str,
+    ts_col: str | None = None,
+    key_col: str | None = None,
+    with_names: bool = False,
 ) -> dict[str, Any]:
     """Row count, min/max ``_lsn``, and (when ``ts_col`` is given)
     min/max event time from the parquet footer — no data read. The LSN
@@ -197,6 +200,10 @@ def _footer_stats(
         )
         out["min_key"] = k_mn if ok else None
         out["max_key"] = k_mx if ok else None
+    if with_names:
+        # top-level physical column names from the SAME footer read —
+        # add_files folds its per-file validation into this pass
+        out["cols"] = {f.name for f in md.schema.to_arrow_schema()}
     return out
 
 
@@ -250,6 +257,7 @@ def _footer_stats_many(
     paths: list[str],
     ts_col: str | None = None,
     key_col: str | None = None,
+    with_names: bool = False,
 ) -> dict[str, dict[str, Any]]:
     """Footer stats for many files, read concurrently — keeps the
     per-commit driver bookkeeping O(1) wall-clock in the file count
@@ -262,7 +270,10 @@ def _footer_stats_many(
         return dict(
             zip(
                 paths,
-                ex.map(lambda p: _footer_stats(p, ts_col, key_col), paths),
+                ex.map(
+                    lambda p: _footer_stats(p, ts_col, key_col, with_names),
+                    paths,
+                ),
             )
         )
 
@@ -544,6 +555,18 @@ def _tips(hs: "Snapshot") -> dict[str, int]:
     return tips
 
 
+def _orderable(dt: T.DataType) -> bool:
+    """Can Spark order values of this type (max/sort/struct-compare)?
+    Everything except MapType at any depth."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    return True
+
+
 def _lww_resolve(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -580,15 +603,46 @@ def _lww_resolve(
     rest = [
         c for c in payload if c not in (ts_col, LSN_COL, SUB_COL)
     ]
+    # max(struct) needs every ridden column ORDERABLE; MapType is not.
+    # A map payload column (e.g. a [cdc.coerce_spec] map<...> target)
+    # rides as sorted entries (array<struct> IS orderable, and sorting
+    # by key keeps the tie-break deterministic) and converts back after
+    # the winner is extracted. Unorderable shapes at deeper nesting
+    # (a map inside a struct) have no such lossless detour — raise
+    # precisely rather than let Spark's INVALID_ORDERING_TYPE kill the
+    # microbatch with an opaque plan error.
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    map_cols = {c for c in rest if isinstance(dtypes[c], T.MapType)}
+    for c in rest:
+        if c not in map_cols and not _orderable(dtypes[c]):
+            raise LoadError(
+                f"payload column {c!r} has type "
+                f"{dtypes[c].simpleString()}, which Spark cannot order "
+                f"inside the LWW aggregation (maps nested below the "
+                f"top level); restructure the payload as "
+                f"array<struct> or a top-level map column"
+            )
+
+    def _ride(c: str) -> F.Column:
+        if c in map_cols:
+            return F.array_sort(F.map_entries(F.col(c))).alias(c)
+        return F.col(c)
+
     merged = df.groupBy(*key_cols).agg(
         F.max(
-            F.struct(*order_exprs, *[F.col(c) for c in rest])
+            F.struct(*order_exprs, *[_ride(c) for c in rest])
         ).alias("__w")
     )
+
+    def _unride(c: str) -> F.Column:
+        if c in map_cols:
+            return F.map_from_entries(F.col(f"__w.{c}")).alias(c)
+        return F.col(f"__w.{c}").alias(c)
+
     final = merged.select(
         *key_cols,
         *[
-            F.col(f"__w.{c}").alias(c)
+            _unride(c)
             for c in payload
             if c != SUB_COL or SUB_COL in df.columns
         ],
@@ -3281,7 +3335,9 @@ class LakeTable:
         ``migrate`` procedure, the onboarding path for a pre-existing
         corpus (at 100 TB an import must be a metadata-only commit, not
         a copy). ``paths`` are parquet files or directories (``*.parquet``
-        globbed non-recursively).
+        globbed RECURSIVELY; hive-partitioned ``key=value`` layouts are
+        rejected — their partition values live in the path, not the
+        footers).
 
         The imported files join the manifest as one coarse group
         (``spec 1, bucket 0`` — a file whose keys were never routed by
@@ -3310,13 +3366,37 @@ class LakeTable:
         to it (the widening parquet read handles the upcast). Extra
         columns are rejected — evolve the table first (add_column), or
         drop them upstream."""
-        import pyarrow.parquet as pq
-
         snap = self.current()
         files: list[str] = []
         for p in paths:
             if os.path.isdir(p):
-                files.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+                found = sorted(
+                    glob.glob(
+                        os.path.join(p, "**", "*.parquet"), recursive=True
+                    )
+                )
+                if not found:
+                    raise LoadError(
+                        f"add_files: no parquet files under {p!r}"
+                    )
+                for fp in found:
+                    # hive-partitioned layouts carry column VALUES in
+                    # the directory names, not in the footers — a plain
+                    # registration would silently import those columns
+                    # as NULL. Reject with the remedy.
+                    rel = os.path.relpath(fp, p)
+                    if any(
+                        "=" in seg for seg in rel.split(os.sep)[:-1]
+                    ):
+                        raise LoadError(
+                            f"add_files: {fp!r} sits in a "
+                            f"hive-partitioned layout (key=value "
+                            f"directories); its partition values live "
+                            f"in the path, not the footers. Read it "
+                            f"with spark.read.parquet and append() it, "
+                            f"or rewrite it unpartitioned first"
+                        )
+                files.extend(found)
             elif os.path.exists(p):
                 files.append(p)
             else:
@@ -3327,22 +3407,12 @@ class LakeTable:
         types = {f.name: f.dataType for f in schema.fields}
         reserved = {LSN_COL, DELETED_COL, SUB_COL, _BUCKET}
         required = set(snap.key_cols) | {snap.order_cols[0]}
-        # per-file physical column check — footer-only, concurrent
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
-            names = dict(
-                zip(
-                    files,
-                    ex.map(
-                        lambda p: set(
-                            pq.ParquetFile(p).schema_arrow.names
-                        ),
-                        files,
-                    ),
-                )
-            )
-        for p, cols in names.items():
+        # ONE concurrent footer pass yields stats AND physical names
+        stats = _footer_stats_many(
+            files, snap.order_cols[0], snap.bucket_col, with_names=True
+        )
+        for p, st in stats.items():
+            cols = st.pop("cols")
             missing = required - cols
             if missing:
                 raise LoadError(
@@ -3356,7 +3426,9 @@ class LakeTable:
                     f"add_files: {p!r} carries engine-managed "
                     f"column(s) {sorted(bad)}; strip them upstream"
                 )
-        # merged logical schema of the import vs the table (footer-only)
+        # merged logical schema of the import vs the table — a second,
+        # DISTRIBUTED footer read (Spark mergeSchema): at a 100-TB
+        # import the schema union is executor work, not a driver loop
         imp = self.spark.read.option("mergeSchema", "true").parquet(*files)
         for f in imp.schema.fields:
             tt = types.get(f.name)
@@ -3371,9 +3443,6 @@ class LakeTable:
                     f"{f.dataType.simpleString()} which is neither the "
                     f"table's {tt.simpleString()} nor promotable to it"
                 )
-        stats = _footer_stats_many(
-            files, snap.order_cols[0], snap.bucket_col
-        )
         new_files = [
             {
                 "path": p,
@@ -3601,7 +3670,10 @@ class LakeTable:
         }
 
     def _manifest_paths_df(
-        self, mf_rel: Sequence[str], inline: Sequence[str]
+        self,
+        mf_rel: Sequence[str],
+        inline: Sequence[str],
+        include_external: bool = True,
     ) -> DataFrame | None:
         """Distributed DF of suffix-normalized data-file paths from the
         given manifest files (parsed on executors) plus any
@@ -3621,16 +3693,19 @@ class LakeTable:
                     [os.path.join(self.meta_dir, r) for r in sorted(mf_rel)]
                 )
             )
-            out = (
-                raw.select(F.explode("files").alias("f"))
-                # external (add_files) entries are the user's files:
-                # never candidates for deletion, and never under the
-                # table root for vacuum's listing — excluded here
-                .where(~F.coalesce(F.col("f.external"), F.lit(False)))
-                .select(
-                    sfx(F.col("f.path")).alias("sfx"),
-                    F.col("f.path").alias("path"),
+            exploded = raw.select(F.explode("files").alias("f"))
+            if not include_external:
+                # external (add_files) entries are the user's files —
+                # never DELETION candidates. They stay in LIVE sets
+                # (include_external=True) so liveness joins still
+                # protect an import that happens to sit under the
+                # table root.
+                exploded = exploded.where(
+                    ~F.coalesce(F.col("f.external"), F.lit(False))
                 )
+            out = exploded.select(
+                sfx(F.col("f.path")).alias("sfx"),
+                F.col("f.path").alias("path"),
             )
         if inline:
             idf = self.spark.createDataFrame(
@@ -3650,7 +3725,9 @@ class LakeTable:
         entries anti-joined against every kept snapshot's entries, the
         surviving doomed paths deleted inside executor tasks (only a
         per-partition count returns to the driver)."""
-        dead_df = self._manifest_paths_df(dead_mf, sorted(dead_inline))
+        dead_df = self._manifest_paths_df(
+            dead_mf, sorted(dead_inline), include_external=False
+        )
         if dead_df is None:
             return 0
         live_df = self._manifest_paths_df(live_mf, sorted(live_inline))

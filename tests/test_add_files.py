@@ -252,3 +252,39 @@ def test_merge_after_import_migrates_touched_buckets(spark, tmp_path):
     assert len(got) == 20
     # the coarse import group was folded away by the merge
     assert not any(f.get("external") for f in t.current().files)
+
+
+def test_add_files_recursive_and_hive_rejection(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=4)
+    # nested (non-hive) subdirectories are found recursively
+    deep = tmp_path / "c" / "year2025" / "batch1"
+    _write_corpus(str(deep), _rows(8), n_files=1)
+    res = t.add_files([str(tmp_path / "c")])
+    assert res["files_added"] == 1 and res["rows_added"] == 8
+    # hive key=value layout: partition values live in the path -> reject
+    hive = tmp_path / "h" / "lang=en"
+    _write_corpus(str(hive), _rows(4), n_files=1)
+    with pytest.raises(LoadError, match="hive-partitioned"):
+        t.add_files([str(tmp_path / "h")])
+    # empty directory is an explicit error even alongside valid paths
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(LoadError, match="no parquet files under"):
+        t.add_files([str(tmp_path / "empty"), str(tmp_path / "c")])
+
+
+def test_distributed_vacuum_protects_external_under_table_root(
+    spark, tmp_path
+):
+    """An import that physically sits under the table's data directory
+    must survive vacuum_orphans(distributed=True) — the live set keeps
+    external entries even though they are never deletion candidates."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=4)
+    inside = os.path.join(t.data_dir, "imported")
+    files = _write_corpus(inside, _rows(10), n_files=1)
+    t.add_files([inside])
+    res = t.vacuum_orphans(older_than_s=0.0, distributed=True)
+    assert all(os.path.exists(p) for p in files), (
+        f"distributed vacuum deleted live imported files: {res}"
+    )
+    got = t.read().count()
+    assert got == 10

@@ -384,3 +384,136 @@ def test_coerce_spec_from_toml_config(spark, tmp_path):
         engine=cfg,
     )
     assert d.coerce_spec == cfg.cdc.coerce_spec
+
+
+def test_map_payload_column_lww_resolves(spark, tmp_path):
+    """A top-level map payload (a [cdc.coerce_spec] map<...> target)
+    rides the LWW aggregation as sorted entries — maps themselves are
+    not orderable in Spark — and converts back losslessly."""
+    ddl = (
+        "conv_id string, turn_idx int, attrs map<string,string>, "
+        "ts timestamp"
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl, num_buckets=2)
+    b1 = spark.createDataFrame(
+        [
+            ("c1", 0, {"k": "old", "z": "1"}, dt.datetime(2025, 1, 1), 1, "U"),
+            ("c2", 0, None, dt.datetime(2025, 1, 1), 2, "U"),
+        ],
+        "conv_id string, turn_idx int, attrs map<string,string>, "
+        "ts timestamp, lsn long, op string",
+    )
+    t.merge(b1, run_id="r", batch_id=0)
+    b2 = spark.createDataFrame(
+        [("c1", 0, {"k": "new"}, dt.datetime(2025, 1, 2), 3, "U")],
+        "conv_id string, turn_idx int, attrs map<string,string>, "
+        "ts timestamp, lsn long, op string",
+    )
+    t.merge(b2, run_id="r", batch_id=1)
+    got = {r.conv_id: r.attrs for r in t.read().collect()}
+    assert got == {"c1": {"k": "new"}, "c2": None}
+    # merge-on-read: resolution at read time takes the same detour
+    t2 = LakeTable.create(
+        spark,
+        str(tmp_path / "t2"),
+        ddl,
+        num_buckets=2,
+        props={"write.merge.mode": "merge-on-read"},
+    )
+    t2.merge(b1, run_id="r", batch_id=0)
+    t2.merge(b2, run_id="r", batch_id=1)
+    got2 = {r.conv_id: r.attrs for r in t2.read().collect()}
+    assert got2 == got
+
+
+def test_map_nested_in_struct_raises_precisely(spark, tmp_path):
+    from etl_rs_spark.errors import LoadError
+
+    ddl = (
+        "conv_id string, turn_idx int, "
+        "tool struct<args:map<string,string>>, ts timestamp"
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), ddl, num_buckets=2)
+    b = spark.createDataFrame(
+        [("c1", 0, ({"a": "1"},), dt.datetime(2025, 1, 1), 1, "U")],
+        "conv_id string, turn_idx int, "
+        "tool struct<args:map<string,string>>, ts timestamp, "
+        "lsn long, op string",
+    )
+    import pytest
+
+    with pytest.raises(LoadError, match="cannot order"):
+        t.merge(b, run_id="r", batch_id=0)
+
+
+def test_nested_payload_map_through_stream(spark, tmp_path):
+    """[cdc.coerce_spec] map<...> end-to-end: binlog JSON object ->
+    typed MapType column -> merge -> read."""
+    import os
+
+    from etl_rs_spark.cdc.stream import StreamDriver
+    from etl_rs_spark.generator import write_event_files
+
+    ev = spark.createDataFrame(
+        [
+            ("c1", 0, dt.datetime(2025, 1, 1), 1, "U", {"lang": "en"}),
+            ("c1", 0, dt.datetime(2025, 1, 2), 2, "U", {"lang": "pt", "x": "1"}),
+        ],
+        "conv_id string, turn_idx int, ts timestamp, lsn long, "
+        "op string, attrs map<string,string>",
+    )
+    env = ev.select(
+        "lsn", "op", "conv_id", "turn_idx", "ts",
+        F.to_json(F.struct("attrs")).alias("payload"),
+    )
+    binlog = str(tmp_path / "binlog")
+    os.makedirs(binlog)
+    write_event_files(env, binlog, n_files=1)
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        "conv_id string, turn_idx int, attrs map<string,string>, "
+        "ts timestamp",
+        num_buckets=2,
+    )
+    StreamDriver(
+        spark,
+        t,
+        binlog,
+        str(tmp_path / "ckpt"),
+        coerce_spec={"attrs": "map<string,string>"},
+    ).run_available_now(timeout_s=300)
+    got = {r.conv_id: r.attrs for r in t.read().collect()}
+    assert got == {"c1": {"lang": "pt", "x": "1"}}
+
+
+def test_iceberg_twin_ddl_statements_parse(spark):
+    """Every ALTER statement the twin can emit must at least PARSE in
+    Spark SQL — the jar-gated env would hit analysis, not grammar
+    (regression: ADD COLUMN IF NOT EXISTS is a ParseException)."""
+    from pyspark.errors import AnalysisException, ParseException
+
+    from etl_rs_spark.sinks.iceberg import _evolution_ddl
+
+    cur = T.StructType([T.StructField("name", T.StringType()),
+                        T.StructField("n", T.IntegerType())])
+    new = T.StructType([T.StructField("name", T.StringType()),
+                        T.StructField("n", T.LongType()),
+                        T.StructField("args", T.StringType())])
+    promoted = _promote_type(cur, new)
+    stmts = []
+    for kind, path, typ in _evolution_ddl(cur, promoted, "tool"):
+        if kind == "add":
+            stmts.append(f"ALTER TABLE __twin_t ADD COLUMN {path} {typ}")
+        else:
+            stmts.append(f"ALTER TABLE __twin_t ALTER COLUMN {path} TYPE {typ}")
+    stmts.append("ALTER TABLE __twin_t ADD COLUMN lang string")  # widen()
+    assert stmts
+    for sql in stmts:
+        try:
+            spark.sql(sql)
+            raise AssertionError(f"expected table-not-found: {sql}")
+        except ParseException as e:
+            raise AssertionError(f"twin emits unparseable DDL: {sql}: {e}")
+        except AnalysisException:
+            pass  # parsed fine; failed analysis only because no table
