@@ -3359,6 +3359,18 @@ class LakeTable:
         locations). ``vacuum_orphans`` only walks the table's own
         directories, so externals are structurally safe there.
 
+        Like ``append``, an import is a BULK load outside the change
+        feed: ``changes()`` covers rows applied through ``merge`` (CDC
+        events carrying LSNs); imported rows ride at ``_lsn = -1`` and
+        never appear in a CDF window (documented contract, pinned by
+        tests). Downstream consumers bootstrapping from the feed should
+        seed from a full ``read()`` at the import version, exactly as
+        they would for an appended backfill. Note the read-side cost
+        until the import is folded: a CDF window over an uncompacted
+        import LWW-resolves the import's coverage (it is one coarse
+        delta group), so run ``compact()`` after large imports before
+        resuming high-frequency incremental consumers.
+
         Every file must physically contain the key and event-time
         columns; other table columns may be absent (null-filled at
         scan, exactly like post-widening reads of old files) and each

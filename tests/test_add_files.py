@@ -288,3 +288,38 @@ def test_distributed_vacuum_protects_external_under_table_root(
     )
     got = t.read().count()
     assert got == 10
+
+
+def test_import_is_outside_the_change_feed(spark, tmp_path):
+    """Pinned contract: like append, add_files is a bulk load — CDF
+    windows cover merge-applied CDC events only. A window across an
+    import emits the stream changes and nothing for imported rows;
+    consumers seed imports from read() at the import version."""
+    import datetime as dt
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    src = spark.createDataFrame(
+        [("c9", 0, "stream", dt.datetime(2025, 1, 1), 1, "U")],
+        "conv_id string, turn_idx int, text string, ts timestamp, "
+        "lsn long, op string",
+    )
+    t.merge(src, run_id="r", batch_id=0)
+    v1 = t.current().version
+    files = _write_corpus(str(tmp_path / "c"), _rows(6), n_files=1)
+    assert files
+    t.add_files([str(tmp_path / "c")])
+    # import-only window: empty feed
+    assert t.changes(v1).count() == 0
+    # a later stream event still feeds normally across the import
+    src2 = spark.createDataFrame(
+        [("c9", 0, "stream2", dt.datetime(2025, 1, 2), 2, "U")],
+        "conv_id string, turn_idx int, text string, ts timestamp, "
+        "lsn long, op string",
+    )
+    t.merge(src2, run_id="r", batch_id=1)
+    feed = t.changes(v1).collect()
+    assert [(r.conv_id, r.text, r._change_type) for r in feed] == [
+        ("c9", "stream2", "upsert")
+    ]
+    # while read() serves imports + stream merged
+    assert t.read().count() == 1 + 6
