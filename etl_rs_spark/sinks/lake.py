@@ -2057,7 +2057,7 @@ class LakeTable:
             "path string, bucket int, rows long, min_lsn long, "
             "max_lsn long, min_ts long, max_ts long, min_key string, "
             "max_key string, kind string, spec_n int, epoch int, "
-            "has_key_bloom boolean"
+            "has_key_bloom boolean, external boolean"
         )
         if "files" not in snap.__dict__ and snap.manifest_list:
             paths = [
@@ -2068,7 +2068,8 @@ class LakeTable:
                 "group string, files array<struct<path:string,"
                 "bucket:int,rows:long,min_lsn:long,max_lsn:long,"
                 "min_ts:long,max_ts:long,min_key:string,max_key:string,"
-                "kind:string,spec_n:int,epoch:int,key_bloom:string>>"
+                "kind:string,spec_n:int,epoch:int,key_bloom:string,"
+                "external:boolean>>"
             )
             raw = (
                 self.spark.read.schema(ent)
@@ -2097,6 +2098,7 @@ class LakeTable:
                 ).alias("spec_n"),
                 F.coalesce(f["epoch"], F.lit(0)).alias("epoch"),
                 f["key_bloom"].isNotNull().alias("has_key_bloom"),
+                F.coalesce(f["external"], F.lit(False)).alias("external"),
             )
         rows = [
             (
@@ -2113,6 +2115,7 @@ class LakeTable:
                 _file_spec(f, snap),
                 int(f.get("epoch", 0)),
                 bool(f.get("key_bloom")),
+                bool(f.get("external")),
             )
             for f in snap.files
         ]

@@ -323,3 +323,20 @@ def test_import_is_outside_the_change_feed(spark, tmp_path):
     ]
     # while read() serves imports + stream merged
     assert t.read().count() == 1 + 6
+
+
+def test_inspect_files_shows_external_flag(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), DDL, num_buckets=2)
+    t.append(
+        spark.createDataFrame(
+            [("n", 0, "native", __import__("datetime").datetime(2025, 1, 1))],
+            DDL,
+        )
+    )
+    _write_corpus(str(tmp_path / "c"), _rows(4), n_files=1)
+    t.add_files([str(tmp_path / "c")])
+    rows = t.inspect_files().collect()
+    by_ext = {r.external for r in rows}
+    assert by_ext == {True, False}
+    ext = [r for r in rows if r.external]
+    assert len(ext) == 1 and ext[0].kind == "delta" and ext[0].spec_n == 1
