@@ -424,7 +424,14 @@ def verify_pairs_exact_jaccard(
         .unionByName(pairs.select(F.col(dst).alias("__vid")))
         .distinct()
     )
-    sets = df.select(
+    # CPU-spread (size-gated no-op on large inputs): the shingle
+    # expression is interpreted per-element work, and a small corpus
+    # arrives as one scan task — without the spread the whole shingle
+    # pass runs on ONE core (measured 33s single-task vs ~1s spread at
+    # 50k docs x 32 cores).
+    from etl_rs_spark.plans import spread_for_cpu
+
+    sets = spread_for_cpu(df).select(
         F.col(id_col).alias("__vid"),
         F.array_distinct(shingles(text_col, k)).alias("__sh"),
     ).join(needed, "__vid", "left_semi")
@@ -615,14 +622,56 @@ def _ngram_postings(
     count(*) subquery broadcast into the hot-gram filter, so the cap
     rides the same action as the postings job instead of costing a
     separate eager ``df.count()``."""
+    # the generator expression stays INLINE in the explode: naming the
+    # array in a Project first lets InferFiltersFromGenerate derive a
+    # size(...) > 0 filter that filter-pushdown then sinks BELOW the
+    # CPU-spread exchange — the whole shingle pass would run inside the
+    # (often single-task) scan stage (measured 27s vs 3s at sf1.0)
     from etl_rs_spark.plans import spread_for_cpu
 
-    if max_doc_freq == "auto" and n_docs is not None:
-        max_doc_freq = auto_doc_freq_cap(n_docs)
     grams = spread_for_cpu(df).select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("g"),
     )
+    hot = _hot_grams(df, grams, max_doc_freq, n_docs)
+    if hot is not None:
+        grams = grams.join(hot, "g", "left_anti")
+    return grams
+
+
+def _ngram_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(__id, __gs: array<string>) — each doc's DISTINCT n-gram set as
+    one array row, CPU-spread (the shingle expression is interpreted
+    per-element work; without the spread a one-row-group parquet input
+    runs the whole pass on one core)."""
+    from etl_rs_spark.plans import spread_for_cpu
+
+    return spread_for_cpu(df).select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles(text_col, n)).alias("__gs"),
+    )
+
+
+def _hot_grams(
+    df: DataFrame,
+    grams: DataFrame,
+    max_doc_freq: int | str | None,
+    n_docs: int | None = None,
+) -> DataFrame | None:
+    """Grams whose document frequency exceeds the cap (None = no cap).
+
+    max_doc_freq="auto" derives ``auto_doc_freq_cap``: from ``n_docs``
+    when the caller already knows the corpus size (manifest row counts
+    on the CDC path — zero extra work), otherwise INSIDE the plan — a
+    count(*) subquery broadcast into the hot-gram filter, so the cap
+    rides the same action as the postings job instead of costing a
+    separate eager ``df.count()``."""
+    if max_doc_freq == "auto" and n_docs is not None:
+        max_doc_freq = auto_doc_freq_cap(n_docs)
+    if max_doc_freq is None:
+        return None
     if max_doc_freq == "auto":
         # SQL twin of auto_doc_freq_cap — greatest(16, ceil(sqrt(N))) —
         # as a SCALAR SUBQUERY, not a 1-row broadcast join: a subquery
@@ -647,16 +696,275 @@ def _ngram_postings(
             )
         finally:
             df.sparkSession.catalog.dropTempView(view)
-        grams = grams.join(hot, "g", "left_anti")
-    elif max_doc_freq is not None:
-        hot = (
-            grams.groupBy("g")
-            .agg(F.count("*").alias("__df"))
-            .where(F.col("__df") > max_doc_freq)
-            .select("g")
+        return hot
+    return (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") > int(max_doc_freq))
+        .select("g")
+    )
+
+
+def _pair_counts_blocked(
+    sets: DataFrame,
+    hot: DataFrame | None,
+    threshold: float,
+    blocks: int,
+) -> DataFrame:
+    """Exact per-pair intersection counts for a corpus of per-doc
+    distinct-gram sets — the block-native replacement for the postings
+    self-join + 10^8-row pair aggregation.
+
+    Docs are hashed into ``blocks`` disjoint blocks; every unordered
+    block pair (i <= j) is one task, and every doc row (__id,
+    __gs: array<string>) is replicated to the ``blocks`` tasks whose
+    pair involves its block — so each unordered DOC pair is counted in
+    exactly one task, from the full gram sets of both docs. The gram
+    strings cross the Python boundary as Arrow list buffers (50-100x
+    fewer rows than exploded postings; dictionary_encode turns them
+    into integer codes at C speed without materializing Python
+    strings). Inside the task the candidate generation + counting is
+    one vectorized numpy pass (grouped cross-product via offset
+    arithmetic, bincount/np.unique on packed pair codes) instead of
+    10^8 interpreted join/agg row updates, and only pairs at or above
+    ``threshold - 1e-4`` (a conservative float guard; the caller
+    re-applies the exact round()-ed threshold in Spark SQL) are
+    emitted — the candidate pairs never cross an exchange at all.
+
+    ``hot`` (optional): grams over the document-frequency cap. They are
+    delivered to every task as sentinel rows (__blk = -1) and dropped
+    from both intersections and set sizes in-kernel — byte-identical to
+    the upstream anti-join the postings-join strategy uses, because
+    sizes are counted after the drop in both.
+
+    Cost model vs the postings join: the join shuffles
+    O(postings + candidate_pairs) rows; this scheme shuffles
+    O(blocks * corpus_bytes) and generates candidates at native speed
+    in-task. It wins when replication (blocks) is smaller than the
+    corpus's mean posting document-frequency (dense-overlap corpora —
+    exactly when the join's candidate volume explodes) and each block
+    pair fits a task; the caller gates on estimated input size and
+    falls back to the join otherwise.
+
+    Returns (id_a, id_b, common, sz_a, sz_b) with id_a < id_b.
+    """
+    task_keys = F.array(
+        *[
+            F.struct(
+                F.least(F.col("__blk"), F.lit(t)).alias("i"),
+                F.greatest(F.col("__blk"), F.lit(t)).alias("j"),
+            )
+            for t in range(blocks)
+        ]
+    )
+    rep = (
+        sets.withColumn(
+            "__blk",
+            F.pmod(F.xxhash64(F.col("__id")), F.lit(blocks)).cast("int"),
         )
-        grams = grams.join(hot, "g", "left_anti")
-    return grams
+        .select("__id", "__gs", "__blk", F.explode(task_keys).alias("__t"))
+        .select(
+            "__id",
+            "__gs",
+            "__blk",
+            F.col("__t.i").alias("i"),
+            F.col("__t.j").alias("j"),
+        )
+    )
+    if hot is not None:
+        all_keys = F.array(
+            *[
+                F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+                for i in range(blocks)
+                for j in range(i, blocks)
+            ]
+        )
+        hot_rep = hot.select(
+            F.lit(-1).cast("long").alias("__id"),
+            F.array("g").alias("__gs"),
+            F.lit(-1).cast("int").alias("__blk"),
+            F.explode(all_keys).alias("__t"),
+        ).select(
+            "__id",
+            "__gs",
+            "__blk",
+            F.col("__t.i").alias("i"),
+            F.col("__t.j").alias("j"),
+        )
+        rep = rep.unionByName(hot_rep)
+    thr = float(threshold) - 1e-4
+    n_parts = blocks * (blocks + 1) // 2
+
+    def _count_group(ids, blk, gcodes, i, j):
+        """Pair counts for one (i, j) task; all inputs numpy (one row
+        per POSTING: doc id, doc block, local integer gram code)."""
+
+        def side(mask):
+            # local codes ordered BY ID VALUE so code order == id order
+            s_ids = ids[mask]
+            s_g = gcodes[mask]
+            uids = np.unique(s_ids)  # sorted
+            codes = np.searchsorted(uids, s_ids)
+            sizes = np.bincount(codes, minlength=len(uids))
+            return s_g, codes, uids, sizes
+
+        if i == j:
+            lg, lc, luids, lsz = side(np.ones(len(ids), dtype=bool))
+            rg, rc, ruids, rsz = lg, lc, luids, lsz
+        else:
+            lg, lc, luids, lsz = side(blk == i)
+            rg, rc, ruids, rsz = side(blk == j)
+        if len(luids) == 0 or len(ruids) == 0:
+            return None
+        # sort both posting lists by gram code; grouped cross product
+        lo = np.argsort(lg, kind="stable")
+        lg, lc = lg[lo], lc[lo]
+        ro = np.argsort(rg, kind="stable")
+        rg, rc = rg[ro], rc[ro]
+        # right-side group table: for each gram code, [start, len)
+        r_unique, r_start, r_len = np.unique(
+            rg, return_index=True, return_counts=True
+        )
+        # for each left posting: the right group of its gram (if any)
+        pos = np.searchsorted(r_unique, lg)
+        pos_c = np.clip(pos, 0, len(r_unique) - 1)
+        has = (pos < len(r_unique)) & (r_unique[pos_c] == lg)
+        lc_m = lc[has]
+        starts = r_start[pos_c[has]]
+        lens = r_len[pos_c[has]]
+        total = int(lens.sum())
+        if total == 0:
+            return None
+        # vectorized ragged ranges: for left element k emit right
+        # indices starts[k] .. starts[k]+lens[k]
+        off = np.cumsum(lens) - lens
+        ridx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(off, lens)
+            + np.repeat(starts, lens)
+        )
+        pair_l = np.repeat(lc_m, lens)
+        pair_r = rc[ridx]
+        if i == j:
+            keep = pair_l < pair_r
+            pair_l, pair_r = pair_l[keep], pair_r[keep]
+            if len(pair_l) == 0:
+                return None
+        pk = pair_l.astype(np.int64) * np.int64(len(ruids)) + pair_r
+        # run-length counting: bincount when the dense key space is
+        # small (fastest), sort-based np.unique otherwise
+        if len(luids) * len(ruids) <= 1 << 26:
+            cnt = np.bincount(pk, minlength=len(luids) * len(ruids))
+            upk = np.flatnonzero(cnt)
+            common = cnt[upk]
+        else:
+            upk, common = np.unique(pk, return_counts=True)
+        a = (upk // len(ruids)).astype(np.int64)
+        b = (upk % len(ruids)).astype(np.int64)
+        sa = lsz[a]
+        sb = rsz[b]
+        ja = common / (sa + sb - common)
+        keep = ja >= thr
+        a, b, common, sa, sb = a[keep], b[keep], common[keep], sa[keep], sb[keep]
+        if len(a) == 0:
+            return None
+        ida = luids[a]
+        idb = ruids[b]
+        if i != j:
+            # blocks are value-disjoint but unordered: orient by value
+            swap = ida > idb
+            ida2 = np.where(swap, idb, ida)
+            idb2 = np.where(swap, ida, idb)
+            sa2 = np.where(swap, sb, sa)
+            sb2 = np.where(swap, sa, sb)
+            ida, idb, sa, sb = ida2, idb2, sa2, sb2
+        return ida, idb, common.astype(np.int64), sa.astype(np.int64), sb.astype(np.int64)
+
+    def _count_partition(batches):
+        # mapInArrow (not applyInPandas): the gram strings stay in
+        # Arrow buffers end to end — flatten + dictionary_encode yield
+        # integer codes at C speed without materializing millions of
+        # Python string objects (measured: the pandas group boundary
+        # alone cost more than the whole pair computation)
+        import pyarrow as pa
+
+        tabs = list(batches)
+        out_schema = pa.schema(
+            [
+                ("id_a", pa.int64()),
+                ("id_b", pa.int64()),
+                ("common", pa.int64()),
+                ("sz_a", pa.int64()),
+                ("sz_b", pa.int64()),
+            ]
+        )
+        if not tabs:
+            return
+        tab = pa.Table.from_batches(tabs)
+        ids = tab.column("__id").to_numpy()
+        blk = tab.column("__blk").to_numpy()
+        ii = tab.column("i").to_numpy()
+        jj = tab.column("j").to_numpy()
+        gs = tab.column("__gs").combine_chunks()
+        lens = gs.value_lengths().fill_null(0).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        # one dictionary over the whole partition's flattened grams
+        gcodes_all = gs.flatten().dictionary_encode().indices.to_numpy()
+        row_of = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        p_ids = ids[row_of]
+        p_blk = blk[row_of]
+        p_key = ii[row_of].astype(np.int64) * 4096 + jj[row_of]
+        # hot grams (sentinel __blk == -1): drop their postings (and
+        # the sentinels themselves) everywhere in this partition
+        hot_mask = p_blk == -1
+        if hot_mask.any():
+            hot_codes = np.unique(gcodes_all[hot_mask])
+            keep = ~np.isin(gcodes_all, hot_codes)
+            p_ids, p_blk, p_key, gcodes_all = (
+                p_ids[keep], p_blk[keep], p_key[keep], gcodes_all[keep]
+            )
+        for k in np.unique(p_key):
+            m = p_key == k
+            res = _count_group(
+                p_ids[m], p_blk[m], gcodes_all[m], int(k // 4096), int(k % 4096)
+            )
+            if res is None:
+                continue
+            ida, idb, common, sa, sb = res
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ida, pa.int64()),
+                    pa.array(idb, pa.int64()),
+                    pa.array(common, pa.int64()),
+                    pa.array(sa, pa.int64()),
+                    pa.array(sb, pa.int64()),
+                ],
+                schema=out_schema,
+            )
+
+    return rep.repartition(n_parts, "i", "j").mapInArrow(
+        _count_partition,
+        "id_a long, id_b long, common long, sz_a long, sz_b long",
+    )
+
+
+#: gate for the blocked pair-counting strategy: replicated postings
+#: (blocks x estimated input bytes) must stay under this budget, else
+#: the shuffle-bounded postings join is the right plan. Overridable for
+#: cluster deployments via ETL_NGRAM_BLOCKED_BUDGET (bytes).
+_BLOCKED_BUDGET_BYTES = 8 << 30
+
+
+def _pick_blocks(spark) -> int:
+    """Smallest B with B(B+1)/2 >= 2*parallelism (enough tasks to fill
+    the cores twice over for stragglerless scheduling)."""
+    import math
+
+    par = max(spark.sparkContext.defaultParallelism, 2)
+    b = int((math.isqrt(16 * par + 1) - 1) // 2)
+    while b * (b + 1) // 2 < 2 * par:
+        b += 1
+    return max(b, 2)
 
 
 def ngram_jaccard_pairs(
@@ -667,6 +975,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | str | None = None,
     n_docs: int | None = None,
+    pair_strategy: str = "auto",
 ) -> DataFrame:
     """EXACT word-n-gram Jaccard similarity pairs >= threshold, as a
     set-similarity join: explode distinct n-grams, equi-join on the
@@ -686,6 +995,66 @@ def ngram_jaccard_pairs(
     over all grams (bounded corpora / verification oracles);
     ``"auto"`` = ``auto_doc_freq_cap(n_docs)``, the default on the
     scale path (``ngram_jaccard_pairs_capped``)."""
+    spark = df.sparkSession
+    strategy = pair_strategy
+    if strategy == "auto":
+        # blocked native counting replicates the postings ``blocks``
+        # times through one exchange — a clear win while that stays
+        # bounded (dense-overlap corpora make the join's candidate
+        # volume explode), and wrong for corpora so large that
+        # replication outgrows the budget; those keep the
+        # shuffle-bounded postings join.
+        import os as _os
+
+        from etl_rs_spark.plans import plan_size_bytes
+
+        budget = int(
+            _os.environ.get("ETL_NGRAM_BLOCKED_BUDGET", _BLOCKED_BUDGET_BYTES)
+        )
+        try:
+            est = plan_size_bytes(df)
+        except Exception:
+            est = 1 << 62
+        # postings are ~4x the raw text bytes (one ~3-word gram per
+        # word, distinct-deduped); use the raw input estimate as proxy
+        strategy = (
+            "blocked"
+            if est * 8 * _pick_blocks(spark) <= budget
+            else "join"
+        )
+    if strategy == "blocked":
+        sets = _ngram_sets(df, id_col, text_col, n)
+        hot = None
+        if max_doc_freq is not None:
+            # one shingle pass for BOTH the doc-frequency counts and the
+            # replicated sets: persist the gram arrays (bounded — the
+            # blocked strategy is size-gated) so the hot-gram subplan
+            # explodes CACHED arrays instead of re-shingling the corpus,
+            # and the explode-inferred size() filter cannot sink the
+            # shingle expression below the spread exchange (the cache
+            # boundary stops pushdown).
+            from pyspark import StorageLevel
+
+            sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+            hot = _hot_grams(
+                df,
+                sets.select("__id", F.explode("__gs").alias("g")),
+                max_doc_freq,
+                n_docs,
+            )
+        counted = _pair_counts_blocked(
+            sets, hot, threshold, _pick_blocks(spark)
+        )
+        out = counted.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+        return out.where(F.col("jaccard") >= threshold)
     grams = _ngram_postings(df, id_col, text_col, n, max_doc_freq, n_docs)
     sizes = grams.groupBy("__id").agg(F.count("*").alias("sz"))
     a = grams.select(F.col("__id").alias("id_a"), "g")

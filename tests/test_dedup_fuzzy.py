@@ -293,3 +293,40 @@ def test_embedding_multitable_lsh_recall(spark):
     # true cosine filter
     exact = pair_set(embedding_neardup_pairs(df, threshold=0.95, exact=True))
     assert got <= exact
+
+
+def test_ngram_blocked_strategy_matches_join(spark):
+    """The blocked native pair-counting strategy must be byte-identical
+    to the postings-join strategy on an adversarial corpus: null and
+    empty texts (no postings), short texts (below n words), a planted
+    hot gram that an explicit doc-frequency cap removes, and doc ids
+    that hash into every block."""
+    rows = [(0, None), (1, ""), (2, "one two")]
+    hot = "zz yy xx"  # 3-gram shared by many docs -> df over the cap
+    for i in range(3, 40):
+        rows.append((i * 7 + 1, f"{hot} alpha{i} beta{i} gamma{i} delta{i}"))
+    # planted near-dups sharing rare grams
+    rows.append((500, "red green blue cyan magenta yellow"))
+    rows.append((501, "red green blue cyan magenta black"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for kw in (
+        dict(threshold=0.2),
+        dict(threshold=0.2, max_doc_freq=5),
+        dict(threshold=0.1, max_doc_freq="auto"),
+    ):
+        blocked = ngram_jaccard_pairs(df, n=3, pair_strategy="blocked", **kw)
+        join = ngram_jaccard_pairs(df, n=3, pair_strategy="join", **kw)
+        b = sorted(tuple(r) for r in blocked.collect())
+        j = sorted(tuple(r) for r in join.collect())
+        assert b == j, f"strategy divergence under {kw}: {b} vs {j}"
+    # the capped run must actually have removed the hot gram's pairs
+    capped = pair_set(
+        ngram_jaccard_pairs(
+            df, n=3, threshold=0.01, max_doc_freq=5, pair_strategy="blocked"
+        )
+    )
+    uncapped = pair_set(
+        ngram_jaccard_pairs(df, n=3, threshold=0.01, pair_strategy="blocked")
+    )
+    assert (500, 501) in capped
+    assert len(uncapped) > len(capped)
