@@ -28,6 +28,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tc(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """CPU-spread variant of _t for expression/kernel-heavy pipelines:
+    the driver-generated parquet ships ONE row group per table, so any
+    scan of it is a single task no matter the split size — a to_json/
+    dedup/stopword pipeline then runs on one core of 32. The size-gated
+    repartition (plans.spread_for_cpu) fixes that and is a no-op on
+    inputs big enough to split naturally."""
+    from etl_rs_spark.plans import spread_for_cpu
+
+    return spread_for_cpu(_t(spark, sf_dir, name))
+
+
 # --------------------------------------------------------------- queries --
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate operator (SURVEY.md §2.4) on lineitem — distributed
@@ -113,7 +125,7 @@ def q_cdc_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: CDC apply semantics over events-as-changelog — derive
     I/U/D ops, LWW per key on (ts, event_id), delete-wins-if-latest.
     Same code path as the table MERGE pre-stage (cdc/apply.py)."""
-    e = _t(spark, sf_dir, "events").select(
+    e = _tc(spark, sf_dir, "events").select(
         F.col("user_id"),
         F.when(F.col("event_type") == "error", F.lit("D"))
         .otherwise(F.lit("U"))
@@ -346,7 +358,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB SQL."""
     from etl_rs_spark.functions.text import lang_id
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tc(spark, sf_dir, "documents")
     return d.select(lang_id("text").alias("pred_lang")).groupBy(
         "pred_lang"
     ).agg(F.count("*").alias("n_docs"))
@@ -357,7 +369,7 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted score formula is mirrored term-by-term in DuckDB SQL."""
     from etl_rs_spark.functions.text import quality_score
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tc(spark, sf_dir, "documents")
     return d.select(
         (F.floor(quality_score("text") * 10) / 10).alias("q_bucket")
     ).groupBy("q_bucket").agg(F.count("*").alias("n_docs"))
@@ -811,7 +823,7 @@ def q_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_rs_spark.config import CdcConfig
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _t(spark, sf_dir, "events")
+    e = _tc(spark, sf_dir, "events")
     env = e.select(
         F.col("event_id").alias("lsn"),
         F.when(F.col("event_type") == "error", F.lit("D"))
@@ -904,7 +916,7 @@ def _point_lookup_impl(
     from etl_rs_spark.config import CdcConfig
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _t(spark, sf_dir, "events")
+    e = _tc(spark, sf_dir, "events")
     env = e.select(
         F.col("event_id").alias("lsn"),
         F.when(F.col("event_type") == "error", F.lit("D"))
@@ -947,7 +959,7 @@ def q_cdc_apply_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_rs_spark.config import CdcConfig
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _t(spark, sf_dir, "events")
+    e = _tc(spark, sf_dir, "events")
     env = e.select(
         F.col("event_id").alias("lsn"),
         F.when(F.col("event_type") == "error", F.lit("D"))
@@ -994,7 +1006,7 @@ def q_cdc_schema_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _t(spark, sf_dir, "events")
+    e = _tc(spark, sf_dir, "events")
     split = int(e.agg(F.max("event_id")).first()[0]) // 2
     def _batch(pred, score_col):
         return e.where(pred).select(
@@ -1056,7 +1068,7 @@ def q_cdc_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _t(spark, sf_dir, "events")
+    e = _tc(spark, sf_dir, "events")
     split = int(e.agg(F.max("event_id")).first()[0]) // 2
 
     def _base(pred, tool_col):
@@ -1123,7 +1135,7 @@ def q_cdc_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _t(spark, sf_dir, "events")
+    e = _tc(spark, sf_dir, "events")
     split = int(e.agg(F.max("event_id")).first()[0]) // 2
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
@@ -1187,7 +1199,7 @@ def q_cdc_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _t(spark, sf_dir, "events")
+    e = _tc(spark, sf_dir, "events")
     split = int(e.agg(F.max("event_id")).first()[0]) // 2
 
     def _batch(pred, value_name):
@@ -1254,7 +1266,7 @@ def q_cdc_bucket_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable, _file_spec
 
-    e = _t(spark, sf_dir, "events")
+    e = _tc(spark, sf_dir, "events")
     split = int(e.agg(F.max("event_id")).first()[0]) // 2
 
     def _batch(pred):
@@ -1321,7 +1333,7 @@ def q_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _t(spark, sf_dir, "events")
+    e = _tc(spark, sf_dir, "events")
     env = e.select(
         F.col("user_id").cast("string").alias("conv_id"),
         F.lit(0).alias("turn_idx"),
@@ -1365,7 +1377,7 @@ def q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _t(spark, sf_dir, "events")
+    e = _tc(spark, sf_dir, "events")
     split = int(e.agg(F.max("event_id")).first()[0]) // 2
 
     def _batch(pred):
@@ -1425,7 +1437,7 @@ def q_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _t(spark, sf_dir, "events")
+    e = _tc(spark, sf_dir, "events")
     split = int(e.agg(F.max("event_id")).first()[0]) // 2
 
     def _batch(pred):
@@ -1480,7 +1492,7 @@ def q_cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _t(spark, sf_dir, "events")
+    e = _tc(spark, sf_dir, "events")
     split = int(e.agg(F.max("event_id")).first()[0]) // 2
 
     def _batch(pred):
@@ -1537,7 +1549,7 @@ def q_cdc_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _t(spark, sf_dir, "events")
+    e = _tc(spark, sf_dir, "events")
     winners = lww_dedup(
         e.select(
             F.col("user_id").cast("string").alias("conv_id"),
@@ -1585,7 +1597,7 @@ def q_cdc_concurrent_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable, bucket_expr
 
-    e = _t(spark, sf_dir, "events")
+    e = _tc(spark, sf_dir, "events")
     base = e.select(
         F.col("user_id").cast("string").alias("conv_id"),
         F.lit(0).alias("turn_idx"),
@@ -1697,7 +1709,7 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _t(spark, sf_dir, "events")
+    e = _tc(spark, sf_dir, "events")
     winners = lww_dedup(
         e.select(
             F.col("user_id").cast("string").alias("conv_id"),

@@ -748,6 +748,8 @@ def _pair_counts_blocked(
 
     Returns (id_a, id_b, common, sz_a, sz_b) with id_a < id_b.
     """
+    id_type = sets.schema["__id"].dataType
+    id_ddl = id_type.simpleString()
     task_keys = F.array(
         *[
             F.struct(
@@ -757,8 +759,12 @@ def _pair_counts_blocked(
             for t in range(blocks)
         ]
     )
+    # null doc ids can never appear in a result pair (the join strategy
+    # drops them at the null-propagating id_a < id_b filter); drop them
+    # up front so the kernel's value sort stays total-ordered
     rep = (
-        sets.withColumn(
+        sets.where(F.col("__id").isNotNull())
+        .withColumn(
             "__blk",
             F.pmod(F.xxhash64(F.col("__id")), F.lit(blocks)).cast("int"),
         )
@@ -780,7 +786,7 @@ def _pair_counts_blocked(
             ]
         )
         hot_rep = hot.select(
-            F.lit(-1).cast("long").alias("__id"),
+            F.lit(None).cast(id_ddl).alias("__id"),
             F.array("g").alias("__gs"),
             F.lit(-1).cast("int").alias("__blk"),
             F.explode(all_keys).alias("__t"),
@@ -889,19 +895,24 @@ def _pair_counts_blocked(
         import pyarrow as pa
 
         tabs = list(batches)
+        if not tabs:
+            return
+        tab = pa.Table.from_batches(tabs)
+        pa_id_type = tab.schema.field("__id").type
         out_schema = pa.schema(
             [
-                ("id_a", pa.int64()),
-                ("id_b", pa.int64()),
+                ("id_a", pa_id_type),
+                ("id_b", pa_id_type),
                 ("common", pa.int64()),
                 ("sz_a", pa.int64()),
                 ("sz_b", pa.int64()),
             ]
         )
-        if not tabs:
-            return
-        tab = pa.Table.from_batches(tabs)
-        ids = tab.column("__id").to_numpy()
+        # object dtype for string ids: python str comparison is code-
+        # point order == Spark's UTF8 binary order, so the kernel's
+        # value sort / orientation matches the join strategy's
+        # id_a < id_b semantics for every id type
+        ids = tab.column("__id").to_numpy(zero_copy_only=False)
         blk = tab.column("__blk").to_numpy()
         ii = tab.column("i").to_numpy()
         jj = tab.column("j").to_numpy()
@@ -933,8 +944,8 @@ def _pair_counts_blocked(
             ida, idb, common, sa, sb = res
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(ida, pa.int64()),
-                    pa.array(idb, pa.int64()),
+                    pa.array(ida, pa_id_type),
+                    pa.array(idb, pa_id_type),
                     pa.array(common, pa.int64()),
                     pa.array(sa, pa.int64()),
                     pa.array(sb, pa.int64()),
@@ -944,7 +955,7 @@ def _pair_counts_blocked(
 
     return rep.repartition(n_parts, "i", "j").mapInArrow(
         _count_partition,
-        "id_a long, id_b long, common long, sz_a long, sz_b long",
+        f"id_a {id_ddl}, id_b {id_ddl}, common long, sz_a long, sz_b long",
     )
 
 

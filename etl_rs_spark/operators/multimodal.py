@@ -27,6 +27,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_rs_spark.functions import codecs
+from etl_rs_spark.plans import spread_for_cpu as _spread
+
+# every kernel below runs via mapInPandas with the INPUT's partitioning:
+# a small asset table arriving as one scan task (e.g. a single-row-group
+# parquet) would run the whole decode/resize pass on one core. _spread
+# is the size-gated repartition fixing exactly that; at scale it is a
+# no-op (guide: CPU-heavy small scans).
 
 #: canonical multimodal schemas: payload bytes + typed metadata
 IMAGE_SCHEMA = T.StructType(
@@ -143,7 +150,7 @@ def extract_image_features(
         for b in batches:
             yield pd.DataFrame({id_col: b[id_col], "features": kern(b[content_col], dim)})
 
-    return df.select(id_col, content_col).mapInPandas(gen, schema)
+    return _spread(df.select(id_col, content_col)).mapInPandas(gen, schema)
 
 
 def image_stats(
@@ -181,7 +188,7 @@ def image_stats(
                 rows, columns=[id_col, "fmt", "width", "height", "mean_r", "mean_g", "mean_b"]
             )
 
-    return df.select(id_col, content_col).mapInPandas(gen, schema)
+    return _spread(df.select(id_col, content_col)).mapInPandas(gen, schema)
 
 
 def resize_images(
@@ -228,7 +235,7 @@ def resize_images(
                 b["height"] = np.int32(height)
             yield b
 
-    return df.mapInPandas(gen, out_schema)
+    return _spread(df).mapInPandas(gen, out_schema)
 
 
 def sample_audio_frames(
@@ -277,7 +284,7 @@ def sample_audio_frames(
                     hashes.append(fingerprint(mono[i * step : (i + 1) * step].tobytes(), i))
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_hash": hashes})
 
-    return df.mapInPandas(gen, schema)
+    return _spread(df).mapInPandas(gen, schema)
 
 
 def wav_frames(
@@ -313,7 +320,7 @@ def wav_frames(
                     rows.append((aid, i, len(fr), rms))
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "n_samples", "rms"])
 
-    return df.select(id_col, content_col).mapInPandas(gen, schema)
+    return _spread(df.select(id_col, content_col)).mapInPandas(gen, schema)
 
 
 # ----------------------------------------------------------- test fixtures --
@@ -365,7 +372,7 @@ def image_assets_from_ids(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
                     blobs.append(codecs.encode_ppm(px) if i % 3 == 0 else codecs.encode_bmp(px))
             yield pd.DataFrame({id_col: b[id_col], "content": blobs})
 
-    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(gen, schema)
+    return _spread(df.select(F.col(id_col).cast("long").alias(id_col))).mapInPandas(gen, schema)
 
 
 def wav_assets_from_ids(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
@@ -390,4 +397,4 @@ def wav_assets_from_ids(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
                 blobs.append(codecs.encode_wav(np.full(n, amp, dtype=np.int16), 8000))
             yield pd.DataFrame({id_col: b[id_col], "content": blobs})
 
-    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(gen, schema)
+    return _spread(df.select(F.col(id_col).cast("long").alias(id_col))).mapInPandas(gen, schema)

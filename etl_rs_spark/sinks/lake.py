@@ -4200,10 +4200,23 @@ class LakeTable:
             batch_stats.get("spec_n", snap.num_buckets) != snap.num_buckets
         ):
             batch_stats = None
+        src_cached = False
         if batch_stats is not None:
             incoming_counts = dict(batch_stats["bucket_counts"])
             hi_lsn = batch_stats.get("hi_lsn")
         else:
+            # without caller stats, the stats aggregation AND the write
+            # job would each recompute the caller's full winners
+            # pipeline (typically a dedup over the raw batch) — cache
+            # the bucketed winners for the merge's lifetime instead:
+            # O(batch) rows, the batch's smallest representation. The
+            # CDC apply path achieves the same sharing by persisting
+            # raw_winners and passing batch_stats; this covers direct
+            # merge() callers.
+            from pyspark import StorageLevel
+
+            src = src.persist(StorageLevel.MEMORY_AND_DISK)
+            src_cached = True
             t_stats = time.monotonic()
             stats_rows = (
                 src.groupBy(_BUCKET)
@@ -4217,173 +4230,179 @@ class LakeTable:
             hi_lsn = max((r["hi"] for r in stats_rows), default=None)
         affected = sorted(incoming_counts)
         if not affected:
+            if src_cached:
+                src.unpersist()
             return {"version": snap.version, "skipped": True, "reason": "empty batch"}
 
-        # -- merge-mode routing: which affected buckets FOLD (read
-        # current state, resolve, rewrite base) vs take a DELTA append.
-        # Copy-on-write folds everything; merge-on-read folds only the
-        # buckets whose delta chain would outgrow write.delta.max-files.
-        mode = mode or snap.props.get("write.merge.mode", "copy-on-write")
-        if mode not in ("copy-on-write", "merge-on-read"):
-            raise LoadError(
-                f"unknown merge mode {mode!r} "
-                "(copy-on-write | merge-on-read)"
-            )
-        # sharded + still-lazy snapshot: the whole merge (routing,
-        # current-state selection, and the commit below) runs off
-        # manifest summaries + the TOUCHED groups' manifests only —
-        # O(touched buckets) driver metadata, never O(table files)
-        lazy = (
-            "files" not in snap.__dict__
-            and bool(snap.manifest_list)
-            and snap.__dict__.get("_files_loader") is not None
-        )
-        if mode == "merge-on-read":
-            max_delta = int(snap.props.get("write.delta.max-files", 8))
-            n_delta: dict[int, int] = {}
-            if lazy:
-                # per-group delta counts ride the manifest list; a
-                # coarse group's count lands on every covered bucket
-                # (overcount folds early — safe)
-                for m in snap.manifest_list:
-                    if m.get("deltas"):
-                        for b in _expand_to_current(m, snap):
-                            n_delta[b] = n_delta.get(b, 0) + m["deltas"]
-            else:
-                for f in snap.files:
-                    if f.get("kind") == "delta":
-                        for b in _expand_to_current(f, snap):
-                            n_delta[b] = n_delta.get(b, 0) + 1
-            fold = [b for b in affected if n_delta.get(b, 0) + 1 > max_delta]
-        else:
-            fold = list(affected)
-        fold_set = set(fold)
-        cold = [b for b in affected if b not in fold_set]
-
-        # -- current rows of FOLD buckets only (partition pruning);
-        # delta-append buckets are never read — that is the point
-        # a pre-evolution (coarser-spec) file overlapping the fold set
-        # is folded WHOLE: its sibling buckets' rows ride the LWW
-        # resolve unopposed and land in current-spec files — merges
-        # migrate the table toward the new spec as buckets get touched
-        cur_files = [
-            f
-            for f in self._candidate_files(snap, buckets=fold_set)
-            if _file_overlaps(f, fold_set, snap)
-        ]
-        # scanned under the WIDENED/PROMOTED logical schema, with
-        # per-epoch physical-name translation for pre-rename files
-        cur = self._scan_files(snap, cur_files, schema=schema)
-
-        def norm(
-            df: DataFrame, lsn: F.Column, deleted: F.Column, sub: F.Column
-        ) -> DataFrame:
-            src_types = {f.name: f.dataType for f in df.schema.fields}
-            sel = []
-            for c in table_cols:
-                if c in df.columns:
-                    # struct-aware alignment: after a nested widening
-                    # the incoming struct is narrower than the table's
-                    # — plain cast would reject it (field-count rule)
-                    sel.append(_align_cast(F.col(c), src_types[c], types[c]).alias(c))
-                else:
-                    sel.append(F.lit(None).cast(types[c]).alias(c))
-            return df.select(
-                *sel,
-                lsn.cast("long").alias(LSN_COL),
-                deleted.cast("boolean").alias(DELETED_COL),
-                sub.cast("int").alias(SUB_COL),
-            )
-
-        existing = norm(
-            cur,
-            F.col(LSN_COL),
-            F.coalesce(F.col(DELETED_COL), F.lit(False)),
-            F.coalesce(F.col(SUB_COL), F.lit(0)),
-        )
-        incoming = norm(
-            src, F.col(lsn_col), F.col(op_col) == "D", F.lit(int(sub_lsn))
-        )
-        _bexpr = bucket_expr(snap.bucket_col, snap.num_buckets)
-
-        t_write = time.monotonic()
-        new_files: list[dict[str, Any]] = []
-        if fold:
-            # -- FOLD leg: LWW across {stored row/tombstone, incoming
-            # winner} per key — one associative max aggregation (partial
-            # map-side combine before the shuffle); AQE handles residual
-            # skew. Rewrites the fold buckets' base files; any delta
-            # files those buckets carried are resolved away here.
-            inc_fold = (
-                incoming if not cold else incoming.where(_bexpr.isin(fold))
-            )
-            final = _lww_resolve(
-                existing.unionByName(inc_fold), snap.key_cols, ts_col, types
-            )
-            # expected write volume per bucket = existing rows (manifest
-            # footer counts) + incoming winners — drives the skew-aware
-            # salt plan
-            volume: dict[int, int] = {
-                b: n for b, n in incoming_counts.items() if b in fold_set
-            }
-            for f in cur_files:
-                dests = _expand_to_current(f, snap)
-                share = max(f.get("rows", 0) // len(dests), 1)
-                for b in dests:
-                    volume[b] = volume.get(b, 0) + share
-            new_files += self._write_files(
-                self._with_bucket(final, snap),
-                snap.version + 1,
-                len(fold),
-                write_partitions,
-                bucket_volume=volume,
-                props=snap.props,
-                epoch=snap.epoch,
-                ts_col=snap.order_cols[0],
-                sort_cols=_sort_order(snap),
-                key_col=snap.bucket_col,
-            )
-        if cold:
-            # -- DELTA leg: append the batch winners as delta files for
-            # the cold buckets without reading their current state.
-            # Tombstone payload is nulled on disk (parity with the fold
-            # representation); resolution happens at read/compaction.
-            delta_rows = (
-                incoming if not fold else incoming.where(_bexpr.isin(cold))
-            )
-            for c in table_cols:
-                if c in snap.key_cols or c == ts_col:
-                    continue
-                delta_rows = delta_rows.withColumn(
-                    c,
-                    F.when(
-                        F.col(DELETED_COL), F.lit(None).cast(types[c])
-                    ).otherwise(F.col(c)),
+        try:
+            # -- merge-mode routing: which affected buckets FOLD (read
+            # current state, resolve, rewrite base) vs take a DELTA append.
+            # Copy-on-write folds everything; merge-on-read folds only the
+            # buckets whose delta chain would outgrow write.delta.max-files.
+            mode = mode or snap.props.get("write.merge.mode", "copy-on-write")
+            if mode not in ("copy-on-write", "merge-on-read"):
+                raise LoadError(
+                    f"unknown merge mode {mode!r} "
+                    "(copy-on-write | merge-on-read)"
                 )
-            # one delta file per touched bucket per batch (the chain the
-            # max-files cap counts); volume-driven splitting only when
-            # the table caps file sizes explicitly
-            dvol = (
-                {b: n for b, n in incoming_counts.items() if b in set(cold)}
-                if snap.props.get("write.target-file-rows")
-                else None
+            # sharded + still-lazy snapshot: the whole merge (routing,
+            # current-state selection, and the commit below) runs off
+            # manifest summaries + the TOUCHED groups' manifests only —
+            # O(touched buckets) driver metadata, never O(table files)
+            lazy = (
+                "files" not in snap.__dict__
+                and bool(snap.manifest_list)
+                and snap.__dict__.get("_files_loader") is not None
             )
-            dfiles = self._write_files(
-                self._with_bucket(delta_rows, snap),
-                snap.version + 1,
-                len(cold),
-                None,
-                bucket_volume=dvol,
-                props=snap.props,
-                epoch=snap.epoch,
-                ts_col=snap.order_cols[0],
-                sort_cols=_sort_order(snap),
-                key_col=snap.bucket_col,
+            if mode == "merge-on-read":
+                max_delta = int(snap.props.get("write.delta.max-files", 8))
+                n_delta: dict[int, int] = {}
+                if lazy:
+                    # per-group delta counts ride the manifest list; a
+                    # coarse group's count lands on every covered bucket
+                    # (overcount folds early — safe)
+                    for m in snap.manifest_list:
+                        if m.get("deltas"):
+                            for b in _expand_to_current(m, snap):
+                                n_delta[b] = n_delta.get(b, 0) + m["deltas"]
+                else:
+                    for f in snap.files:
+                        if f.get("kind") == "delta":
+                            for b in _expand_to_current(f, snap):
+                                n_delta[b] = n_delta.get(b, 0) + 1
+                fold = [b for b in affected if n_delta.get(b, 0) + 1 > max_delta]
+            else:
+                fold = list(affected)
+            fold_set = set(fold)
+            cold = [b for b in affected if b not in fold_set]
+
+            # -- current rows of FOLD buckets only (partition pruning);
+            # delta-append buckets are never read — that is the point
+            # a pre-evolution (coarser-spec) file overlapping the fold set
+            # is folded WHOLE: its sibling buckets' rows ride the LWW
+            # resolve unopposed and land in current-spec files — merges
+            # migrate the table toward the new spec as buckets get touched
+            cur_files = [
+                f
+                for f in self._candidate_files(snap, buckets=fold_set)
+                if _file_overlaps(f, fold_set, snap)
+            ]
+            # scanned under the WIDENED/PROMOTED logical schema, with
+            # per-epoch physical-name translation for pre-rename files
+            cur = self._scan_files(snap, cur_files, schema=schema)
+
+            def norm(
+                df: DataFrame, lsn: F.Column, deleted: F.Column, sub: F.Column
+            ) -> DataFrame:
+                src_types = {f.name: f.dataType for f in df.schema.fields}
+                sel = []
+                for c in table_cols:
+                    if c in df.columns:
+                        # struct-aware alignment: after a nested widening
+                        # the incoming struct is narrower than the table's
+                        # — plain cast would reject it (field-count rule)
+                        sel.append(_align_cast(F.col(c), src_types[c], types[c]).alias(c))
+                    else:
+                        sel.append(F.lit(None).cast(types[c]).alias(c))
+                return df.select(
+                    *sel,
+                    lsn.cast("long").alias(LSN_COL),
+                    deleted.cast("boolean").alias(DELETED_COL),
+                    sub.cast("int").alias(SUB_COL),
+                )
+
+            existing = norm(
+                cur,
+                F.col(LSN_COL),
+                F.coalesce(F.col(DELETED_COL), F.lit(False)),
+                F.coalesce(F.col(SUB_COL), F.lit(0)),
             )
-            for f in dfiles:
-                f["kind"] = "delta"
-            new_files += dfiles
-        stage_ms["write"] = int((time.monotonic() - t_write) * 1000)
+            incoming = norm(
+                src, F.col(lsn_col), F.col(op_col) == "D", F.lit(int(sub_lsn))
+            )
+            _bexpr = bucket_expr(snap.bucket_col, snap.num_buckets)
+
+            t_write = time.monotonic()
+            new_files: list[dict[str, Any]] = []
+            if fold:
+                # -- FOLD leg: LWW across {stored row/tombstone, incoming
+                # winner} per key — one associative max aggregation (partial
+                # map-side combine before the shuffle); AQE handles residual
+                # skew. Rewrites the fold buckets' base files; any delta
+                # files those buckets carried are resolved away here.
+                inc_fold = (
+                    incoming if not cold else incoming.where(_bexpr.isin(fold))
+                )
+                final = _lww_resolve(
+                    existing.unionByName(inc_fold), snap.key_cols, ts_col, types
+                )
+                # expected write volume per bucket = existing rows (manifest
+                # footer counts) + incoming winners — drives the skew-aware
+                # salt plan
+                volume: dict[int, int] = {
+                    b: n for b, n in incoming_counts.items() if b in fold_set
+                }
+                for f in cur_files:
+                    dests = _expand_to_current(f, snap)
+                    share = max(f.get("rows", 0) // len(dests), 1)
+                    for b in dests:
+                        volume[b] = volume.get(b, 0) + share
+                new_files += self._write_files(
+                    self._with_bucket(final, snap),
+                    snap.version + 1,
+                    len(fold),
+                    write_partitions,
+                    bucket_volume=volume,
+                    props=snap.props,
+                    epoch=snap.epoch,
+                    ts_col=snap.order_cols[0],
+                    sort_cols=_sort_order(snap),
+                    key_col=snap.bucket_col,
+                )
+            if cold:
+                # -- DELTA leg: append the batch winners as delta files for
+                # the cold buckets without reading their current state.
+                # Tombstone payload is nulled on disk (parity with the fold
+                # representation); resolution happens at read/compaction.
+                delta_rows = (
+                    incoming if not fold else incoming.where(_bexpr.isin(cold))
+                )
+                for c in table_cols:
+                    if c in snap.key_cols or c == ts_col:
+                        continue
+                    delta_rows = delta_rows.withColumn(
+                        c,
+                        F.when(
+                            F.col(DELETED_COL), F.lit(None).cast(types[c])
+                        ).otherwise(F.col(c)),
+                    )
+                # one delta file per touched bucket per batch (the chain the
+                # max-files cap counts); volume-driven splitting only when
+                # the table caps file sizes explicitly
+                dvol = (
+                    {b: n for b, n in incoming_counts.items() if b in set(cold)}
+                    if snap.props.get("write.target-file-rows")
+                    else None
+                )
+                dfiles = self._write_files(
+                    self._with_bucket(delta_rows, snap),
+                    snap.version + 1,
+                    len(cold),
+                    None,
+                    bucket_volume=dvol,
+                    props=snap.props,
+                    epoch=snap.epoch,
+                    ts_col=snap.order_cols[0],
+                    sort_cols=_sort_order(snap),
+                    key_col=snap.bucket_col,
+                )
+                for f in dfiles:
+                    f["kind"] = "delta"
+                new_files += dfiles
+            stage_ms["write"] = int((time.monotonic() - t_write) * 1000)
+        finally:
+            if src_cached:
+                src.unpersist()
         if debug:
             print(
                 f"[merge] write ({mode}, fold={len(fold)} "
