@@ -453,6 +453,9 @@ def _stateful_user_stats(
         spark.readStream.schema(schema)
         .parquet(stream_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
+        # applyInPandasWithState is opaque to column pruning: ship only
+        # the columns the state function reads (guide §4.1)
+        .select("user_id", "event_type", "ts")
     )
     q = (
         running_group_stats(

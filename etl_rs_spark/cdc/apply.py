@@ -212,6 +212,7 @@ def apply_batch(
             )
             .agg(
                 F.sum(STATS_COLS[0]).alias("n"),
+                F.count(F.lit(1)).alias("nw"),
                 F.min(STATS_COLS[1]).alias("lo"),
                 F.max(STATS_COLS[2]).alias("hi"),
                 F.array_distinct(
@@ -252,6 +253,12 @@ def apply_batch(
             r["__b"]: {"n": r["n"], "min_lsn": r["lo"], "max_lsn": r["hi"]}
             for r in stat_rows
         }
+        # winner rows per bucket (exact, free in the same aggregation):
+        # the merge's write plan sizes salt slots / range partitions
+        # from these counts — the raw EVENT counts overestimate by the
+        # dedup ratio (10-100x), which made write.target-file-rows plan
+        # far more write partitions than there are rows to write
+        winners_per_bucket = {r["__b"]: r["nw"] for r in stat_rows}
         n_events = sum(s["n"] for s in per_bucket.values())
         hi_lsn = max(
             (s["max_lsn"] for s in per_bucket.values() if s["max_lsn"] is not None),
@@ -293,7 +300,7 @@ def apply_batch(
             run_id=run_id,
             batch_id=batch_id,
             batch_stats={
-                "bucket_counts": {b: s["n"] for b, s in per_bucket.items()},
+                "bucket_counts": winners_per_bucket,
                 "hi_lsn": hi_lsn,
                 # spec the prescan hashed under: lets the merge detect a
                 # set_num_buckets committed since and recompute instead

@@ -3142,6 +3142,15 @@ class LakeTable:
             range_cols = [F.col(_BUCKET)] + [
                 F.col(c) for c in (sort_cols or []) if c in df.columns
             ]
+            # repartitionByRange SAMPLES its input to pick boundaries —
+            # without a cache that is one full extra computation of the
+            # merge's fold leg (scan existing + resolve) before the
+            # write job recomputes it again. Persist for the write's
+            # lifetime; released right after the write job below.
+            from pyspark import StorageLevel
+
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            range_cached = df
             shuffled = df.repartitionByRange(wp, *range_cols)
         elif bucket_volume:
             wp = max(wp, self._cores())
@@ -3206,7 +3215,11 @@ class LakeTable:
                     f"parquet.bloom.filter.expected.ndv#{pk[len(_BF) + 11:]}",
                     str(pv),
                 )
-        writer.parquet(commit_dir)
+        try:
+            writer.parquet(commit_dir)
+        finally:
+            if dist_mode == "range":
+                range_cached.unpersist()
         t_f = time.monotonic()
         paths = glob.glob(os.path.join(commit_dir, f"{_BUCKET}=*", "*.parquet"))
         stats = _footer_stats_many(paths, ts_col, key_col)
