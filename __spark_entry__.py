@@ -10,6 +10,7 @@ order-insensitive value-hash comparison holds.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -838,7 +839,7 @@ def q_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.struct(F.round("value", 2).alias("value"))).alias("payload"),
     )
     split = int(e.agg(F.max("event_id")).first()[0]) // 2
-    work = tempfile.mkdtemp(prefix="cdf-entry-")
+    work = tempfile.mkdtemp(prefix="cdf-entry-", dir=os.environ.get("SPARK_GRAFT_WORK_DIR"))
     cfg = CdcConfig(num_buckets=8)
     t = LakeTable.create(
         spark,
@@ -930,7 +931,7 @@ def _point_lookup_impl(
         F.col("ts").cast("timestamp").alias("ts"),
         F.to_json(F.struct(F.round("value", 2).alias("value"))).alias("payload"),
     )
-    work = tempfile.mkdtemp(prefix="lookup-entry-")
+    work = tempfile.mkdtemp(prefix="lookup-entry-", dir=os.environ.get("SPARK_GRAFT_WORK_DIR"))
     t = LakeTable.create(
         spark,
         f"{work}/t",
@@ -973,7 +974,7 @@ def q_cdc_apply_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"),
         F.to_json(F.struct(F.round("value", 2).alias("value"))).alias("payload"),
     )
-    work = tempfile.mkdtemp(prefix="mor-entry-")
+    work = tempfile.mkdtemp(prefix="mor-entry-", dir=os.environ.get("SPARK_GRAFT_WORK_DIR"))
     cfg = CdcConfig(num_buckets=8, merge_mode="merge-on-read")
     t = LakeTable.create(
         spark,
@@ -1030,7 +1031,7 @@ def q_cdc_schema_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id") > split,
         F.floor(F.col("value") * 100).cast("long") + F.lit(2**35),
     )
-    work = tempfile.mkdtemp(prefix="promo-entry-")
+    work = tempfile.mkdtemp(prefix="promo-entry-", dir=os.environ.get("SPARK_GRAFT_WORK_DIR"))
     t = LakeTable.create(
         spark,
         f"{work}/t",
@@ -1097,7 +1098,7 @@ def q_cdc_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 10).cast("int").alias("calls"),
         ),
     )
-    work = tempfile.mkdtemp(prefix="nested-entry-")
+    work = tempfile.mkdtemp(prefix="nested-entry-", dir=os.environ.get("SPARK_GRAFT_WORK_DIR"))
     t = LakeTable.create(
         spark,
         f"{work}/t",
@@ -1154,7 +1155,7 @@ def q_cdc_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("timestamp").alias("ts"),
         )
     )
-    work = tempfile.mkdtemp(prefix="addfiles-entry-")
+    work = tempfile.mkdtemp(prefix="addfiles-entry-", dir=os.environ.get("SPARK_GRAFT_WORK_DIR"))
     corpus.coalesce(2).write.parquet(f"{work}/corpus")
     t = LakeTable.create(
         spark,
@@ -1218,7 +1219,7 @@ def q_cdc_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("flag"),
         )
 
-    work = tempfile.mkdtemp(prefix="renamedrop-entry-")
+    work = tempfile.mkdtemp(prefix="renamedrop-entry-", dir=os.environ.get("SPARK_GRAFT_WORK_DIR"))
     t = LakeTable.create(
         spark,
         f"{work}/t",
@@ -1284,7 +1285,7 @@ def q_cdc_bucket_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("value"),
         )
 
-    work = tempfile.mkdtemp(prefix="bucketevo-entry-")
+    work = tempfile.mkdtemp(prefix="bucketevo-entry-", dir=os.environ.get("SPARK_GRAFT_WORK_DIR"))
     t = LakeTable.create(
         spark,
         f"{work}/t",
@@ -1347,7 +1348,7 @@ def q_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
         F.round("value", 2).alias("value"),
     )
-    work = tempfile.mkdtemp(prefix="tsrange-entry-")
+    work = tempfile.mkdtemp(prefix="tsrange-entry-", dir=os.environ.get("SPARK_GRAFT_WORK_DIR"))
     t = LakeTable.create(
         spark,
         f"{work}/t",
@@ -1399,7 +1400,7 @@ def q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_cols=["ts", "lsn"],
         )
 
-    work = tempfile.mkdtemp(prefix="rollback-entry-")
+    work = tempfile.mkdtemp(prefix="rollback-entry-", dir=os.environ.get("SPARK_GRAFT_WORK_DIR"))
     t = LakeTable.create(
         spark,
         f"{work}/t",
@@ -1459,7 +1460,7 @@ def q_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_cols=["ts", "lsn"],
         )
 
-    work = tempfile.mkdtemp(prefix="maint-entry-")
+    work = tempfile.mkdtemp(prefix="maint-entry-", dir=os.environ.get("SPARK_GRAFT_WORK_DIR"))
     t = LakeTable.create(
         spark,
         f"{work}/t",
@@ -1514,7 +1515,7 @@ def q_cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_cols=["ts", "lsn"],
         )
 
-    work = tempfile.mkdtemp(prefix="wap-entry-")
+    work = tempfile.mkdtemp(prefix="wap-entry-", dir=os.environ.get("SPARK_GRAFT_WORK_DIR"))
     t = LakeTable.create(
         spark,
         f"{work}/t",
@@ -1567,7 +1568,7 @@ def q_cdc_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["conv_id", "turn_idx"],
         order_cols=["ts", "lsn"],
     )
-    work = tempfile.mkdtemp(prefix="dml-entry-")
+    work = tempfile.mkdtemp(prefix="dml-entry-", dir=os.environ.get("SPARK_GRAFT_WORK_DIR"))
     t = LakeTable.create(
         spark,
         f"{work}/t",
@@ -1612,7 +1613,7 @@ def q_cdc_concurrent_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
     )
     keys, order = ["conv_id", "turn_idx"], ["ts", "lsn"]
-    work = tempfile.mkdtemp(prefix="concurrent-entry-")
+    work = tempfile.mkdtemp(prefix="concurrent-entry-", dir=os.environ.get("SPARK_GRAFT_WORK_DIR"))
     t = LakeTable.create(
         spark,
         f"{work}/t",
@@ -1686,7 +1687,7 @@ def q_ngram_jaccard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("lsn"),
         F.lit("I").alias("op"),
     )
-    work = tempfile.mkdtemp(prefix="ngram-table-entry-")
+    work = tempfile.mkdtemp(prefix="ngram-table-entry-", dir=os.environ.get("SPARK_GRAFT_WORK_DIR"))
     t = LakeTable.create(
         spark,
         f"{work}/t",
@@ -1727,7 +1728,7 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["conv_id", "turn_idx"],
         order_cols=["ts", "lsn"],
     )
-    work = tempfile.mkdtemp(prefix="stats-entry-")
+    work = tempfile.mkdtemp(prefix="stats-entry-", dir=os.environ.get("SPARK_GRAFT_WORK_DIR"))
     t = LakeTable.create(
         spark,
         f"{work}/t",
