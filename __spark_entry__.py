@@ -1763,24 +1763,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "pricing_summary": q_pricing_summary,
-        "filter_project": q_filter_project,
-        "convert_types": q_convert_types,
-        "join_orders_customers": q_join_orders_customers,
-        "customers_without_orders": q_customers_without_orders,
+        # ORDER IS THE DRIVER GATE: the correctness harness oracles
+        # exactly the FIRST 50 keys, so the newest / least-proven
+        # entries (the commit-protocol lifecycle suite) sit inside the
+        # window; the long-stable TPC-H-style entries and the two
+        # rows-only LSH candidate entries rotate to the tail (pinned by
+        # pytest regardless). Every oracled entry keeps its oracle_sql
+        # unchanged.
         "window_lww_latest": q_window_lww_latest,
         "cdc_apply_state": q_cdc_apply_state,
         "dedup_exact": q_dedup_exact,
-        "token_count": q_token_count,
-        "text_quality": q_text_quality,
         "ann_topk": q_ann_topk,
-        "agg_reference_naming": q_agg_reference_naming,
         "set_ops": q_set_ops,
         "window_tumbling": q_window_tumbling,
         "window_session": q_window_session,
-        "minhash_pairs": q_minhash_pairs,
         "minhash_exact_dup_pairs": q_minhash_exact_dup_pairs,
-        "simhash_fingerprints": q_simhash_fingerprints,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "stateful_user_stats": q_stateful_user_stats,
@@ -1821,6 +1818,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dml": q_cdc_dml,
         "cdc_concurrent_commit": q_cdc_concurrent_commit,
         "table_stats": q_table_stats,
+        "pricing_summary": q_pricing_summary,
+        "filter_project": q_filter_project,
+        "convert_types": q_convert_types,
+        "join_orders_customers": q_join_orders_customers,
+        "customers_without_orders": q_customers_without_orders,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "agg_reference_naming": q_agg_reference_naming,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_fingerprints": q_simhash_fingerprints,
     }
 
 
