@@ -30,11 +30,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _tc(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """CPU-spread variant of _t for expression/kernel-heavy pipelines:
-    the driver-generated parquet ships ONE row group per table, so any
-    scan of it is a single task no matter the split size — a to_json/
-    dedup/stopword pipeline then runs on one core of 32. The size-gated
-    repartition (plans.spread_for_cpu) fixes that and is a no-op on
+    """CPU-spread variant of _t for PER-ROW-EXPENSIVE projections: the
+    driver-generated parquet ships ONE row group per table, so any scan
+    of it is a single task no matter the split size — an interpreted
+    stopword/shingle pipeline then runs on one core of 32 (measured
+    6.7s -> 0.9s on lang_id). NOT for aggregation-collapsing pipelines:
+    a LWW dedup's map-side partial agg reduces 1M rows to ~15k inside
+    the scan task, so spreading those costs a full-width shuffle for
+    nothing (measured 0.94s plain vs 1.69s spread on cdc_apply_state).
+    The size-gated repartition (plans.spread_for_cpu) is a no-op on
     inputs big enough to split naturally."""
     from etl_rs_spark.plans import spread_for_cpu
 
@@ -126,7 +130,7 @@ def q_cdc_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: CDC apply semantics over events-as-changelog — derive
     I/U/D ops, LWW per key on (ts, event_id), delete-wins-if-latest.
     Same code path as the table MERGE pre-stage (cdc/apply.py)."""
-    e = _tc(spark, sf_dir, "events").select(
+    e = _t(spark, sf_dir, "events").select(
         F.col("user_id"),
         F.when(F.col("event_type") == "error", F.lit("D"))
         .otherwise(F.lit("U"))
@@ -827,7 +831,7 @@ def q_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_rs_spark.config import CdcConfig
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _tc(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     env = e.select(
         F.col("event_id").alias("lsn"),
         F.when(F.col("event_type") == "error", F.lit("D"))
@@ -920,7 +924,7 @@ def _point_lookup_impl(
     from etl_rs_spark.config import CdcConfig
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _tc(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     env = e.select(
         F.col("event_id").alias("lsn"),
         F.when(F.col("event_type") == "error", F.lit("D"))
@@ -963,7 +967,7 @@ def q_cdc_apply_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_rs_spark.config import CdcConfig
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _tc(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     env = e.select(
         F.col("event_id").alias("lsn"),
         F.when(F.col("event_type") == "error", F.lit("D"))
@@ -1010,7 +1014,7 @@ def q_cdc_schema_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _tc(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     split = int(e.agg(F.max("event_id")).first()[0]) // 2
     def _batch(pred, score_col):
         return e.where(pred).select(
@@ -1072,7 +1076,7 @@ def q_cdc_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _tc(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     split = int(e.agg(F.max("event_id")).first()[0]) // 2
 
     def _base(pred, tool_col):
@@ -1139,7 +1143,7 @@ def q_cdc_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _tc(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     split = int(e.agg(F.max("event_id")).first()[0]) // 2
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
@@ -1203,7 +1207,7 @@ def q_cdc_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _tc(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     split = int(e.agg(F.max("event_id")).first()[0]) // 2
 
     def _batch(pred, value_name):
@@ -1270,7 +1274,7 @@ def q_cdc_bucket_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable, _file_spec
 
-    e = _tc(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     split = int(e.agg(F.max("event_id")).first()[0]) // 2
 
     def _batch(pred):
@@ -1337,7 +1341,7 @@ def q_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _tc(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     env = e.select(
         F.col("user_id").cast("string").alias("conv_id"),
         F.lit(0).alias("turn_idx"),
@@ -1381,7 +1385,7 @@ def q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _tc(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     split = int(e.agg(F.max("event_id")).first()[0]) // 2
 
     def _batch(pred):
@@ -1441,7 +1445,7 @@ def q_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _tc(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     split = int(e.agg(F.max("event_id")).first()[0]) // 2
 
     def _batch(pred):
@@ -1496,7 +1500,7 @@ def q_cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _tc(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     split = int(e.agg(F.max("event_id")).first()[0]) // 2
 
     def _batch(pred):
@@ -1553,7 +1557,7 @@ def q_cdc_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _tc(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     winners = lww_dedup(
         e.select(
             F.col("user_id").cast("string").alias("conv_id"),
@@ -1601,7 +1605,7 @@ def q_cdc_concurrent_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable, bucket_expr
 
-    e = _tc(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     base = e.select(
         F.col("user_id").cast("string").alias("conv_id"),
         F.lit(0).alias("turn_idx"),
@@ -1713,7 +1717,7 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_rs_spark.sinks.lake import LakeTable
 
-    e = _tc(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     winners = lww_dedup(
         e.select(
             F.col("user_id").cast("string").alias("conv_id"),
