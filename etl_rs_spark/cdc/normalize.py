@@ -211,9 +211,37 @@ def coerce_columns(df: DataFrame, spec: dict[str, str] | None = None) -> DataFra
         ):
             continue  # parsed natively by normalize_events already
         c = F.col(k)
-        out[k] = (
-            PANDAS_COERCERS[target](c)
-            if target in PANDAS_COERCERS
-            else c.try_cast(target)
-        )
+        if target not in PANDAS_COERCERS:
+            # a COMPLEX target against a still-string column (data that
+            # did not pass through normalize_events with this spec):
+            # string->struct/array/map try_cast is not a valid cast and
+            # would raise an AnalysisException at plan time instead of
+            # nulling malformed values — parse with from_json, which
+            # yields NULL for malformed input, the coercion contract
+            # (ADVICE r05).
+            try:
+                target_dt = T.StructType.fromDDL(f"`__c` {target}")[
+                    0
+                ].dataType
+            except Exception:
+                target_dt = None
+            if isinstance(
+                target_dt, (T.StructType, T.ArrayType, T.MapType)
+            ) and isinstance(types[k], T.StringType):
+                # from_json in PERMISSIVE mode yields an all-null
+                # struct for malformed input; gate on JSON validity so
+                # malformed values become NULL like every other failed
+                # coercion
+                valid = (
+                    F.json_array_length(c).isNotNull()
+                    if isinstance(target_dt, T.ArrayType)
+                    else F.json_object_keys(c).isNotNull()
+                )
+                out[k] = F.when(
+                    c.isNotNull() & valid, F.from_json(c, target_dt)
+                )
+                continue
+            out[k] = c.try_cast(target)
+            continue
+        out[k] = PANDAS_COERCERS[target](c)
     return df.withColumns(out) if out else df

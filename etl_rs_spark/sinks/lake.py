@@ -613,6 +613,21 @@ def _lww_resolve(
     # microbatch with an opaque plan error.
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     map_cols = {c for c in rest if isinstance(dtypes[c], T.MapType)}
+    for c in map_cols:
+        # the sorted-entries detour itself needs an ORDERABLE entry
+        # shape: a map whose key or value type is (or contains) another
+        # map would still reach array_sort with an unorderable struct
+        # and die on Spark's opaque INVALID_ORDERING_TYPE — raise the
+        # same precise LoadError instead (ADVICE r05)
+        mt = dtypes[c]
+        if not (_orderable(mt.keyType) and _orderable(mt.valueType)):
+            raise LoadError(
+                f"payload map column {c!r} has type "
+                f"{mt.simpleString()}, whose entries Spark cannot "
+                f"order inside the LWW aggregation (a map nested in "
+                f"the key or value type); restructure the nested map "
+                f"as array<struct>"
+            )
     for c in rest:
         if c not in map_cols and not _orderable(dtypes[c]):
             raise LoadError(
@@ -3426,6 +3441,24 @@ class LakeTable:
                         )
                 files.extend(found)
             elif os.path.exists(p):
+                # the same hive-layout guard for an EXPLICITLY passed
+                # file: a path-borne key=value partition column would
+                # silently import as NULL when it is a nullable table
+                # column (ADVICE r05). Inspect the parent directory
+                # segments (the filename itself may legitimately
+                # contain '=').
+                parent_segs = os.path.dirname(os.path.abspath(p)).split(
+                    os.sep
+                )
+                if any("=" in seg for seg in parent_segs):
+                    raise LoadError(
+                        f"add_files: {p!r} sits in a hive-partitioned "
+                        f"layout (key=value directories); its "
+                        f"partition values live in the path, not the "
+                        f"footers. Read it with spark.read.parquet and "
+                        f"append() it, or rewrite it unpartitioned "
+                        f"first"
+                    )
                 files.append(p)
             else:
                 raise LoadError(f"add_files: no such path {p!r}")
