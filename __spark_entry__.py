@@ -462,7 +462,7 @@ def _stateful_user_stats(
         # the columns the state function reads (guide §4.1)
         .select("user_id", "event_type", "ts")
     )
-    q = (
+    w = (
         running_group_stats(
             src, "user_id", "event_type", "ts", approx_distinct=approx
         )
@@ -470,8 +470,19 @@ def _stateful_user_stats(
         .queryName(qname)
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
     )
+    # state store + WAL on the fast scratch volume (tmpfs here,
+    # per-executor NVMe on a cluster) instead of the default /tmp temp
+    # checkpoint — same storage proxy the CDC bench uses
+    if os.environ.get("SPARK_GRAFT_WORK_DIR"):
+        w = w.option(
+            "checkpointLocation",
+            tempfile.mkdtemp(
+                prefix="stateful-ck-",
+                dir=os.environ["SPARK_GRAFT_WORK_DIR"],
+            ),
+        )
+    q = w.start()
     try:
         if not q.awaitTermination(300):
             raise RuntimeError("stateful drain did not finish in 300s")

@@ -235,7 +235,9 @@ def resize_images(
                 b["height"] = np.int32(height)
             yield b
 
-    return _spread(df).mapInPandas(gen, out_schema)
+    # fake=True is a passthrough (no per-row kernel work): spreading
+    # it would shuffle the binary payload for nothing
+    return (df if fake else _spread(df)).mapInPandas(gen, out_schema)
 
 
 def sample_audio_frames(
@@ -284,7 +286,7 @@ def sample_audio_frames(
                     hashes.append(fingerprint(mono[i * step : (i + 1) * step].tobytes(), i))
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_hash": hashes})
 
-    return _spread(df).mapInPandas(gen, schema)
+    return (df if fake else _spread(df)).mapInPandas(gen, schema)
 
 
 def wav_frames(
