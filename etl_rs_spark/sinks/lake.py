@@ -3125,6 +3125,17 @@ class LakeTable:
         target_rows = props.get("write.target-file-rows")
         compression = props.get("write.compression")
         dist_mode = str(props.get("write.distribution-mode", "hash"))
+        # scale-adaptive parallelism floor: splitting a write below this
+        # many rows per task costs more in task scheduling, parquet
+        # writer setup and tiny output files than the parallelism buys
+        # (a 15k-row batch salted across 32 cores is 34 files of ~450
+        # rows). Only binds when the batch is smaller than cores x floor
+        # — a production-scale write always clears it. Explicit
+        # write.target-file-rows still wins below (file-size control is
+        # the caller's call).
+        min_task_rows = int(
+            os.environ.get("ETL_WRITE_MIN_TASK_ROWS", "4096")
+        )
         # unique per write ATTEMPT, not per version: two writers racing
         # the same slot must never share a staging dir — a shared dir
         # lets one clobber the other's _temporary output and, worse,
@@ -3150,10 +3161,18 @@ class LakeTable:
             if bucket_volume:
                 wp = max(wp, self._cores())
                 total = sum(bucket_volume.values()) or 1
-                target = max(total // wp, 1)
+                target = max(total // wp, min_task_rows, 1)
                 if target_rows:
                     target = min(target, int(target_rows))
-                wp = max(wp, min((total + target - 1) // target, 4096))
+                needed = (total + target - 1) // target
+                # a small batch gets exactly the partitions it needs —
+                # range-partitioning 15k rows 32 ways schedules 32
+                # writer tasks for 32 tiny files; at scale needed >= wp
+                # and the rule is unchanged
+                wp = min(needed, 4096) if needed < wp else max(
+                    wp, min(needed, 4096)
+                )
+                wp = max(wp, 1)
             range_cols = [F.col(_BUCKET)] + [
                 F.col(c) for c in (sort_cols or []) if c in df.columns
             ]
@@ -3170,7 +3189,7 @@ class LakeTable:
         elif bucket_volume:
             wp = max(wp, self._cores())
             total = sum(bucket_volume.values()) or 1
-            target = max(total // wp, 1)
+            target = max(total // wp, min_task_rows, 1)
             salt_cap = wp
             if target_rows:
                 target = min(target, int(target_rows))
@@ -3182,8 +3201,16 @@ class LakeTable:
                 for b, v in bucket_volume.items()
             }
             # every salt slot needs its own shuffle partition, else the
-            # slots of one bucket coalesce back into a single file
-            wp = max(wp, min(sum(salt_n.values()), 4096))
+            # slots of one bucket coalesce back into a single file;
+            # MORE partitions than slots buys nothing (parallelism is
+            # bounded by the distinct (bucket, salt) combos), so a
+            # small batch gets its slot count instead of `cores` empty
+            # writer tasks
+            slots = sum(salt_n.values())
+            wp = min(slots, 4096) if slots < wp else max(
+                wp, min(slots, 4096)
+            )
+            wp = max(wp, 1)
             if any(n > 1 for n in salt_n.values()):
                 salt_map = F.create_map(
                     *[
