@@ -3264,6 +3264,13 @@ class LakeTable:
                 range_cached.unpersist()
         t_f = time.monotonic()
         paths = glob.glob(os.path.join(commit_dir, f"{_BUCKET}=*", "*.parquet"))
+        if not paths:
+            # empty input (possible on a deferred-stats seed merge of an
+            # empty batch): nothing to register, drop the bare staging dir
+            import shutil
+
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            return []
         stats = _footer_stats_many(paths, ts_col, key_col)
         blooms = self._key_blooms(paths, key_col, props)
         if os.environ.get("ETL_DEBUG_MERGE"):
@@ -4274,7 +4281,24 @@ class LakeTable:
         ):
             batch_stats = None
         src_cached = False
-        if batch_stats is not None:
+        # seed merge into a table with NO data files: the stats job's
+        # only pre-write consumers are the affected-bucket set (prunes
+        # the current-state scan — there is nothing to scan) and the
+        # skew-aware write volumes (file-size splitting — deferred to
+        # the explicit write.target-file-rows case, which keeps stats).
+        # Everything else (affected set, hi_lsn for the watermark) is
+        # read back from the written files' parquet footers, so the
+        # whole merge is ONE job over the batch instead of two.
+        defer_stats = (
+            batch_stats is None
+            and not snap.props.get("write.target-file-rows")
+            and not snap.manifest_list
+            and not snap.files
+        )
+        if defer_stats:
+            incoming_counts = {}
+            hi_lsn = None
+        elif batch_stats is not None:
             incoming_counts = dict(batch_stats["bucket_counts"])
             hi_lsn = batch_stats.get("hi_lsn")
         else:
@@ -4302,7 +4326,7 @@ class LakeTable:
             incoming_counts = {r[_BUCKET]: r["n"] for r in stats_rows}
             hi_lsn = max((r["hi"] for r in stats_rows), default=None)
         affected = sorted(incoming_counts)
-        if not affected:
+        if not affected and not defer_stats:
             if src_cached:
                 src.unpersist()
             return {"version": snap.version, "skipped": True, "reason": "empty batch"}
@@ -4348,6 +4372,13 @@ class LakeTable:
                 fold = list(affected)
             fold_set = set(fold)
             cold = [b for b in affected if b not in fold_set]
+            # deferred-stats seed merge: the affected set is unknown
+            # until the write's footers come back — route EVERYTHING
+            # down the leg an empty table implies (CoW folds all, MoR
+            # delta-appends all; n_delta is empty so no bucket can
+            # exceed max_delta) and reconcile fold/cold/affected below.
+            fold_all = defer_stats and mode == "copy-on-write"
+            cold_all = defer_stats and mode == "merge-on-read"
 
             # -- current rows of FOLD buckets only (partition pruning);
             # delta-append buckets are never read — that is the point
@@ -4397,7 +4428,7 @@ class LakeTable:
 
             t_write = time.monotonic()
             new_files: list[dict[str, Any]] = []
-            if fold:
+            if fold or fold_all:
                 # -- FOLD leg: LWW across {stored row/tombstone, incoming
                 # winner} per key — one associative max aggregation (partial
                 # map-side combine before the shuffle); AQE handles residual
@@ -4423,16 +4454,16 @@ class LakeTable:
                 new_files += self._write_files(
                     self._with_bucket(final, snap),
                     snap.version + 1,
-                    len(fold),
+                    snap.num_buckets if fold_all else len(fold),
                     write_partitions,
-                    bucket_volume=volume,
+                    bucket_volume=volume or None,
                     props=snap.props,
                     epoch=snap.epoch,
                     ts_col=snap.order_cols[0],
                     sort_cols=_sort_order(snap),
                     key_col=snap.bucket_col,
                 )
-            if cold:
+            if cold or cold_all:
                 # -- DELTA leg: append the batch winners as delta files for
                 # the cold buckets without reading their current state.
                 # Tombstone payload is nulled on disk (parity with the fold
@@ -4460,7 +4491,7 @@ class LakeTable:
                 dfiles = self._write_files(
                     self._with_bucket(delta_rows, snap),
                     snap.version + 1,
-                    len(cold),
+                    snap.num_buckets if cold_all else len(cold),
                     None,
                     bucket_volume=dvol,
                     props=snap.props,
@@ -4473,6 +4504,28 @@ class LakeTable:
                     f["kind"] = "delta"
                 new_files += dfiles
             stage_ms["write"] = int((time.monotonic() - t_write) * 1000)
+            if defer_stats:
+                # reconcile from the written files' footers: affected =
+                # buckets that produced rows, hi_lsn = max footer lsn
+                # (identical to the skipped stats job — SQL max and
+                # parquet stats both ignore nulls; winners are
+                # one-row-per-key so fold output carries the same rows)
+                if not new_files:
+                    return {
+                        "version": snap.version,
+                        "skipped": True,
+                        "reason": "empty batch",
+                    }
+                affected = sorted({f["bucket"] for f in new_files})
+                fold = affected if mode == "copy-on-write" else []
+                fold_set = set(fold)
+                cold = affected if mode == "merge-on-read" else []
+                his = [
+                    f.get("max_lsn")
+                    for f in new_files
+                    if f.get("max_lsn") is not None
+                ]
+                hi_lsn = max(his) if his else None
         finally:
             if src_cached:
                 src.unpersist()
