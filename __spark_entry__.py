@@ -29,6 +29,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _event_split(spark: SparkSession, sf_dir: str) -> int:
+    """max(event_id) // 2 — the batch split point the CDC lifecycle
+    entries replay around. Answered from the parquet FOOTER statistics
+    (guide §6: metadata questions deserve metadata answers — exact for
+    an int64 column) instead of a scan-aggregate Spark job per entry;
+    falls back to the aggregation when any row group lacks stats."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
+        idx = md.schema.names.index("event_id")
+        mx = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError("row group without stats")
+            mx = st.max if mx is None else max(mx, st.max)
+        if mx is None:
+            raise ValueError("no row groups")
+        return int(mx) // 2
+    except Exception:
+        e = _t(spark, sf_dir, "events")
+        return int(e.agg(F.max("event_id")).first()[0]) // 2
+
+
 def _tc(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """CPU-spread variant of _t for PER-ROW-EXPENSIVE projections: the
     driver-generated parquet ships ONE row group per table, so any scan
@@ -853,7 +878,7 @@ def q_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"),
         F.to_json(F.struct(F.round("value", 2).alias("value"))).alias("payload"),
     )
-    split = int(e.agg(F.max("event_id")).first()[0]) // 2
+    split = _event_split(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="cdf-entry-", dir=os.environ.get("SPARK_GRAFT_WORK_DIR"))
     cfg = CdcConfig(num_buckets=8)
     t = LakeTable.create(
@@ -1026,7 +1051,7 @@ def q_cdc_schema_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_rs_spark.sinks.lake import LakeTable
 
     e = _t(spark, sf_dir, "events")
-    split = int(e.agg(F.max("event_id")).first()[0]) // 2
+    split = _event_split(spark, sf_dir)
     def _batch(pred, score_col):
         return e.where(pred).select(
             F.col("user_id").cast("string").alias("conv_id"),
@@ -1088,7 +1113,7 @@ def q_cdc_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_rs_spark.sinks.lake import LakeTable
 
     e = _t(spark, sf_dir, "events")
-    split = int(e.agg(F.max("event_id")).first()[0]) // 2
+    split = _event_split(spark, sf_dir)
 
     def _base(pred, tool_col):
         return e.where(pred).select(
@@ -1155,7 +1180,7 @@ def q_cdc_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_rs_spark.sinks.lake import LakeTable
 
     e = _t(spark, sf_dir, "events")
-    split = int(e.agg(F.max("event_id")).first()[0]) // 2
+    split = _event_split(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
@@ -1219,7 +1244,7 @@ def q_cdc_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_rs_spark.sinks.lake import LakeTable
 
     e = _t(spark, sf_dir, "events")
-    split = int(e.agg(F.max("event_id")).first()[0]) // 2
+    split = _event_split(spark, sf_dir)
 
     def _batch(pred, value_name):
         return e.where(pred).select(
@@ -1286,7 +1311,7 @@ def q_cdc_bucket_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_rs_spark.sinks.lake import LakeTable, _file_spec
 
     e = _t(spark, sf_dir, "events")
-    split = int(e.agg(F.max("event_id")).first()[0]) // 2
+    split = _event_split(spark, sf_dir)
 
     def _batch(pred):
         return e.where(pred).select(
@@ -1397,7 +1422,7 @@ def q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_rs_spark.sinks.lake import LakeTable
 
     e = _t(spark, sf_dir, "events")
-    split = int(e.agg(F.max("event_id")).first()[0]) // 2
+    split = _event_split(spark, sf_dir)
 
     def _batch(pred):
         return lww_dedup(
@@ -1457,7 +1482,7 @@ def q_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_rs_spark.sinks.lake import LakeTable
 
     e = _t(spark, sf_dir, "events")
-    split = int(e.agg(F.max("event_id")).first()[0]) // 2
+    split = _event_split(spark, sf_dir)
 
     def _batch(pred):
         return lww_dedup(
@@ -1512,7 +1537,7 @@ def q_cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_rs_spark.sinks.lake import LakeTable
 
     e = _t(spark, sf_dir, "events")
-    split = int(e.agg(F.max("event_id")).first()[0]) // 2
+    split = _event_split(spark, sf_dir)
 
     def _batch(pred):
         return lww_dedup(
